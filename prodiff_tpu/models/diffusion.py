@@ -1,0 +1,167 @@
+"""x0-prediction DDPM (ProDiff-style) with ``lax.scan`` sampling.
+
+Mirrors the reference's ``GaussianDiffusion`` / ``MultiVariDiffusion``
+(``modules/diffusion/prodiff.py:48-213``) with a TPU-first layout:
+
+- tensors are [B, F, T, M] (channels last; the denoiser sees [B, T, F*M])
+- the sampling loop is a ``lax.scan`` over precomputed step indices inside one
+  jit — no per-step Python dispatch
+- schedule coefficients are numpy constants baked into the compiled program
+
+Reference-compat notes:
+- inference starts from **uniform** noise, matching the reference quirk
+  (``prodiff.py:147``, SURVEY.md §2.11.6); set ``noise_init='gaussian'`` for
+  the mathematically standard initialisation.
+- t is sampled in [0, timesteps] inclusive and passed to the denoiser
+  unscaled, exactly like the reference.
+- ``MultiVariDiffusion`` behaviour (1-D curves clamped, repeated to
+  ``repeat_bins``, mean-decoded) is enabled via ``repeat_bins``/``clamp_ranges``
+  instead of subclassing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from prodiff_tpu.ops.schedules import DiffusionCoefficients
+
+
+def _extract(a: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-batch schedule coefficients, broadcast to [B, 1, 1, 1]."""
+    return a[t][:, None, None, None]
+
+
+class GaussianDiffusion(nn.Module):
+    denoise_fn: nn.Module
+    out_dims: int
+    timesteps: int = 4
+    time_scale: int = 1
+    schedule_type: str = "vpsde"
+    max_beta: float = 0.02
+    min_beta: float = 0.1
+    betas: Optional[Tuple[float, ...]] = None
+    noise_init: str = "uniform"  # uniform|gaussian (see module docstring)
+    num_features: int = 1
+    # MultiVari mode: clamp 1-D curves and repeat them to repeat_bins
+    repeat_bins: Optional[int] = None
+    clamp_ranges: Optional[Tuple[Tuple[Optional[float], Optional[float]], ...]] = None
+
+    def setup(self):
+        self.coefs = DiffusionCoefficients(
+            timesteps=self.timesteps,
+            schedule_type=self.schedule_type,
+            max_beta=self.max_beta,
+            min_beta=self.min_beta,
+            betas=self.betas,
+        )
+
+    # ---- spec normalisation (identity for mel; clamp+repeat for multivari) --
+
+    def _clamp(self, xs: jnp.ndarray) -> jnp.ndarray:
+        """xs: [B, F, T] clamped per feature."""
+        if self.clamp_ranges is None:
+            return xs
+        cols = []
+        for f, (cmin, cmax) in enumerate(self.clamp_ranges):
+            x = xs[:, f]
+            if cmin is not None and cmax is not None:
+                x = jnp.clip(x, cmin, cmax)
+            cols.append(x)
+        return jnp.stack(cols, axis=1)
+
+    def norm_spec(self, x: jnp.ndarray) -> jnp.ndarray:
+        """[B, F, T, M] passthrough, or [B, F, T] -> [B, F, T, R] in multivari mode."""
+        if self.repeat_bins is None:
+            return x
+        x = self._clamp(x)
+        return jnp.repeat(x[..., None], self.repeat_bins, axis=-1)
+
+    def denorm_spec(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.repeat_bins is None:
+            return x
+        return self._clamp(x.mean(axis=-1))
+
+    # ---- core -----------------------------------------------------------
+
+    def _denoise(self, x: jnp.ndarray, t: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
+        """x: [B, F, T, M] -> [B, F, T, M] through the [B, T, F*M] denoiser."""
+        b, f, tt, m = x.shape
+        flat = x.transpose(0, 2, 1, 3).reshape(b, tt, f * m)
+        out = self.denoise_fn(flat, t, cond)
+        return out.reshape(b, tt, f, m).transpose(0, 2, 1, 3)
+
+    def q_sample(self, x_0: jnp.ndarray, t: jnp.ndarray, x_T: jnp.ndarray) -> jnp.ndarray:
+        c = self.coefs
+        return (
+            _extract(jnp.asarray(c.sqrt_alphas_cumprod), t) * x_0
+            + _extract(jnp.asarray(c.sqrt_one_minus_alphas_cumprod), t) * x_T
+        )
+
+    def q_posterior_sample(
+        self, x_0: jnp.ndarray, x_t: jnp.ndarray, t: jnp.ndarray, noise: jnp.ndarray
+    ) -> jnp.ndarray:
+        c = self.coefs
+        mean = (
+            _extract(jnp.asarray(c.posterior_mean_coef1), t) * x_0
+            + _extract(jnp.asarray(c.posterior_mean_coef2), t) * x_t
+        )
+        log_var = _extract(jnp.asarray(c.posterior_log_variance_clipped), t)
+        nonzero = (t != 0).astype(x_0.dtype)[:, None, None, None]
+        return mean + nonzero * jnp.exp(0.5 * log_var) * noise
+
+    def __call__(
+        self,
+        cond: jnp.ndarray,
+        gt_spec: Optional[jnp.ndarray] = None,
+        src_spec: Optional[jnp.ndarray] = None,
+        infer: bool = False,
+        infer_step: int = 4,
+    ):
+        """cond: [B, T, H].
+
+        Train: gt_spec [B, F, T, M] (or [B, F, T] in multivari mode) ->
+        (x0_pred, x0), both [B, F, T, M].
+        Infer: sampled spec, [B, F, T, M] denormalised (or [B, F, T]).
+        """
+        b, t_mel = cond.shape[0], cond.shape[1]
+        if not infer:
+            x_0 = self.norm_spec(gt_spec)
+            rng_t, rng_n = jax.random.split(self.make_rng("diffusion"))
+            t = jax.random.randint(rng_t, (b,), 0, self.timesteps + 1)
+            if src_spec is None:
+                src_spec = jax.random.normal(rng_n, x_0.shape, x_0.dtype)
+            x_t = self.q_sample(x_0, t, src_spec)
+            x_0_pred = self._denoise(x_t, t, cond)
+            return x_0_pred, x_0
+
+        infer_step = max(1, min(int(infer_step), self.timesteps))
+        shape = (b, self.num_features, t_mel, self.out_dims)
+        rng = self.make_rng("diffusion")
+        rng_init, rng_noise = jax.random.split(rng)
+        if self.noise_init == "uniform":
+            x = jax.random.uniform(rng_init, shape)
+        else:
+            x = jax.random.normal(rng_init, shape)
+
+        if self.is_initializing():
+            # Trace the denoiser once so its params exist; skip the scan.
+            t0 = jnp.zeros((b,), jnp.int32)
+            x = self._denoise(x, t0, cond)
+            return self.denorm_spec(x)
+
+        noises = jax.random.normal(rng_noise, (infer_step, *shape))
+        ts = jnp.arange(infer_step - 1, -1, -1, dtype=jnp.int32)
+
+        def body(x, step):
+            t_i, noise = step
+            t_b = jnp.full((b,), t_i, dtype=jnp.int32)
+            x_0_pred = self._denoise(x, t_b, cond)
+            x = self.q_posterior_sample(x_0_pred, x, t_b, noise)
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, (ts, noises))
+        return self.denorm_spec(x)

@@ -1,0 +1,176 @@
+"""ProDiffTeacher: the SVS acoustic model.
+
+Mirrors the reference (``modules/svs/prodiff_teacher.py:10-168``): phoneme
+encoder with duration/language extra embeds -> length-regulate to frames via
+mel2ph gather -> add pitch/speaker/gender/voicing/breath conditioning -> zero
+padded frames -> diffusion (ProDiff DDPM or rectified flow) over mel.
+
+Reference bug §2.11.9 (gender-by-id reading the language embedding table) is
+fixed here: ``gender_embed_id`` looks up the gender table.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from prodiff_tpu.models.common import Embedding, Linear
+from prodiff_tpu.models.diffusion import GaussianDiffusion
+from prodiff_tpu.models.encoder import FastspeechEncoder
+from prodiff_tpu.models.reflow import RectifiedFlow
+from prodiff_tpu.models.wavenet import WaveNet
+from prodiff_tpu.ops.seq import mel2ph_to_dur, regulate_hidden
+
+
+class ProDiffTeacher(nn.Module):
+    vocab_size: int
+    hparams: Dict[str, Any]
+
+    def setup(self):
+        hp = self.hparams
+        hidden = hp["hidden_size"]
+        self.mel_bins = hp["audio_num_mel_bins"]
+        self.encoder = FastspeechEncoder(
+            vocab_size=self.vocab_size,
+            hidden_size=hidden,
+            num_layers=hp["enc_layers"],
+            kernel_size=hp["enc_ffn_kernel_size"],
+            dropout=hp["dropout"],
+            num_heads=hp["num_heads"],
+        )
+        self.with_dur_embed = hp.get("use_dur_embed", True)
+        if self.with_dur_embed:
+            self.dur_embed = Linear(hidden)
+        self.with_spk_embed = hp.get("use_spk_id", True)
+        if self.with_spk_embed:
+            self.spk_embed = Embedding(hp["num_spk"], hidden, padding_idx=None)
+        self.with_gender_embed = hp.get("use_gender_id", False)
+        if self.with_gender_embed:
+            self.gender_embed = Embedding(2, hidden, padding_idx=None)
+        self.with_lang_embed = hp.get("use_lang_id", True)
+        if self.with_lang_embed:
+            self.lang_embed = Embedding(len(hp["languages"]) + 1, hidden, padding_idx=0)
+        self.pitch_embed = Linear(hidden)
+        self.with_voicing_embed = hp.get("use_voicing_embed", False)
+        if self.with_voicing_embed:
+            self.voicing_embed = Linear(hidden)
+        self.with_breath_embed = hp.get("use_breath_embed", False)
+        if self.with_breath_embed:
+            self.breath_embed = Linear(hidden)
+
+        denoiser = WaveNet(
+            in_dims=self.mel_bins,
+            hidden_size=hidden,
+            residual_layers=hp["residual_layers"],
+            residual_channels=hp["residual_channels"],
+            dilation_cycle_length=hp["dilation_cycle_length"],
+        )
+        self.diffusion_type = hp.get("diff_type", "prodiff")
+        if self.diffusion_type == "prodiff":
+            self.diffusion = GaussianDiffusion(
+                denoise_fn=denoiser,
+                out_dims=self.mel_bins,
+                timesteps=hp["timesteps"],
+                time_scale=hp["timescale"],
+                schedule_type=hp["schedule_type"],
+                max_beta=hp.get("max_beta", 0.06),
+            )
+        elif self.diffusion_type == "reflow":
+            self.diffusion = RectifiedFlow(
+                denoise_fn=denoiser,
+                out_dims=self.mel_bins,
+                time_scale=hp["timescale"],
+                num_features=1,
+                sampling_algorithm=hp.get("sampling_algorithm", "euler"),
+                spec_min=tuple(hp["spec_min"]),
+                spec_max=tuple(hp["spec_max"]),
+            )
+        else:
+            raise NotImplementedError(self.diffusion_type)
+
+    def add_pitch(self, f0: jnp.ndarray) -> jnp.ndarray:
+        f0_mel = jnp.log(1 + f0 / 700)
+        return self.pitch_embed(f0_mel[:, :, None])
+
+    def forward_condition(
+        self,
+        txt_tokens: jnp.ndarray,
+        mel2ph: jnp.ndarray,
+        f0: jnp.ndarray,
+        lang_seq: Optional[jnp.ndarray] = None,
+        spk_embed_id: Optional[jnp.ndarray] = None,
+        spk_mix_embed: Optional[jnp.ndarray] = None,
+        gender_embed_id: Optional[jnp.ndarray] = None,
+        gender_mix_embed: Optional[jnp.ndarray] = None,
+        voicing: Optional[jnp.ndarray] = None,
+        breath: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        extra_embed = 0.0
+        if self.with_dur_embed:
+            dur = mel2ph_to_dur(mel2ph, txt_tokens.shape[1]).astype(jnp.float32)
+            extra_embed = self.dur_embed(dur[:, :, None])
+        if self.with_lang_embed:
+            assert lang_seq is not None, "use_lang_id is True, lang_seq is required"
+            extra_embed += self.lang_embed(lang_seq)
+        encoder_out = self.encoder(
+            txt_tokens, extra_embed, deterministic=deterministic
+        )
+        condition = regulate_hidden(encoder_out, mel2ph)  # [B, T_mel, H]
+        condition += self.add_pitch(f0)
+        if self.with_spk_embed:
+            if spk_mix_embed is not None:
+                condition += spk_mix_embed
+            else:
+                condition += self.spk_embed(spk_embed_id)[:, None, :]
+        if self.with_gender_embed:
+            if gender_mix_embed is not None:
+                condition += gender_mix_embed
+            else:
+                condition += self.gender_embed(gender_embed_id)[:, None, :]
+        if self.with_voicing_embed:
+            assert voicing is not None, "use_voicing_embed is True, voicing is required"
+            condition += self.voicing_embed(voicing[:, :, None])
+        if self.with_breath_embed:
+            assert breath is not None, "use_breath_embed is True, breath is required"
+            condition += self.breath_embed(breath[:, :, None])
+        nonpadding = (mel2ph > 0).astype(condition.dtype)[:, :, None]
+        return condition * nonpadding
+
+    def __call__(
+        self,
+        txt_tokens: jnp.ndarray,
+        mel2ph: jnp.ndarray,
+        f0: jnp.ndarray,
+        lang_seq: Optional[jnp.ndarray] = None,
+        spk_embed_id: Optional[jnp.ndarray] = None,
+        spk_mix_embed: Optional[jnp.ndarray] = None,
+        gender_embed_id: Optional[jnp.ndarray] = None,
+        gender_mix_embed: Optional[jnp.ndarray] = None,
+        voicing: Optional[jnp.ndarray] = None,
+        breath: Optional[jnp.ndarray] = None,
+        gt_spec: Optional[jnp.ndarray] = None,
+        infer: bool = False,
+        infer_step: int = 4,
+        deterministic: bool = True,
+    ):
+        condition = self.forward_condition(
+            txt_tokens,
+            mel2ph,
+            f0,
+            lang_seq=lang_seq,
+            spk_embed_id=spk_embed_id,
+            spk_mix_embed=spk_mix_embed,
+            gender_embed_id=gender_embed_id,
+            gender_mix_embed=gender_mix_embed,
+            voicing=voicing,
+            breath=breath,
+            deterministic=deterministic,
+        )
+        if not infer:
+            x_0 = gt_spec[:, None, :, :]  # [B, 1, T, M]
+            return self.diffusion(condition, gt_spec=x_0, infer=False)
+        mel = self.diffusion(condition, infer=True, infer_step=infer_step)
+        return mel[:, 0]  # [B, T, M]
