@@ -145,11 +145,16 @@ class MelSpectrogram:
             mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
         )  # [M, F]
 
+    @staticmethod
     @functools.lru_cache(maxsize=8)
-    def _window(self, win_size_new: int) -> jnp.ndarray:
+    def _window_np(win_size_new: int) -> np.ndarray:
         # torch.hann_window default is periodic
-        n = jnp.arange(win_size_new, dtype=jnp.float32)
-        return 0.5 - 0.5 * jnp.cos(2 * jnp.pi * n / win_size_new)
+        n = np.arange(win_size_new, dtype=np.float32)
+        return (0.5 - 0.5 * np.cos(2 * np.pi * n / win_size_new)).astype(np.float32)
+
+    def _window(self, win_size_new: int) -> jnp.ndarray:
+        # numpy-cached so it is trace-safe if get_mel is wrapped in jit
+        return jnp.asarray(self._window_np(win_size_new))
 
     def get_mel(
         self, y: jnp.ndarray, keyshift: int = 0, speed: float = 1.0

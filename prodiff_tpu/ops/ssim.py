@@ -15,13 +15,18 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=4)
-def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+def _gaussian_window_np(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
     g = np.exp(
         -((np.arange(window_size) - window_size // 2) ** 2) / (2.0 * sigma ** 2)
     )
     g = g / g.sum()
-    w2d = np.outer(g, g).astype(np.float32)
-    return jnp.asarray(w2d)
+    return np.outer(g, g).astype(np.float32)
+
+
+def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    # cache holds numpy (trace-safe); conversion to a jnp constant happens
+    # inside the current trace
+    return jnp.asarray(_gaussian_window_np(window_size, sigma))
 
 
 def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:

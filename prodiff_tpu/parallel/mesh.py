@@ -1,0 +1,53 @@
+"""Device mesh + sharding helpers.
+
+The reference scales with single-node DDP over NCCL
+(``handler/train/handler.py:419-432,487-498``). The TPU-native equivalent is
+SPMD: one jitted train step over a ``jax.sharding.Mesh`` with the batch sharded
+on a ``data`` axis and params replicated. Gradient averaging is implicit —
+the loss is a global mean, so XLA emits the ``psum`` over ICI. For multi-host
+(DCN) the same program runs after ``jax.distributed.initialize()``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Leading-dim (batch) sharding."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis_name: str = "data"):
+    """Place a host batch onto the mesh, sharded over the data axis.
+
+    Every array's leading dim must be divisible by the mesh size — the batch
+    padding buckets guarantee that.
+    """
+    sharding = batch_sharding(mesh, axis_name)
+
+    def _put(x):
+        if isinstance(x, np.ndarray):
+            return jax.device_put(x, sharding)
+        return x
+
+    return jax.tree.map(_put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.device_put(tree, replicated(mesh))

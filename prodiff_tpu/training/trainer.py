@@ -1,0 +1,293 @@
+"""The trainer: one jitted SPMD train step + host-side loop.
+
+Replaces the reference's ~500-line home-grown trainer
+(``handler/train/handler.py:23-498``). What was there maps to here as:
+
+- GPU discovery + mp.spawn + NCCL init  ->  ``jax.devices()`` + a 1-D ``data``
+  mesh; the train step is ONE compiled program for all devices (SPMD)
+- DDP backward allreduce                ->  implicit psum over ICI: the loss is
+  a global mean over the sharded batch
+- AMP autocast + GradScaler             ->  optional bf16 compute policy (no
+  loss scaling needed on TPU)
+- NaN-grad hunt (print_nan_grads)       ->  ``check_nans`` flag adds a jittable
+  global-norm finiteness check
+- ckpt save/prune/best, val loop, TB    ->  same semantics, host side
+
+Checkpoint/resume contract matches the reference: steps-numbered files,
+keep-K prune, best-copy on monitored ``val_loss`` min, restore model+opt+step.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from prodiff_tpu.parallel.mesh import batch_sharding, create_mesh, replicate, shard_batch
+from prodiff_tpu.training.optim import build_lr_schedule, build_optimizer
+from prodiff_tpu.utils import ckpt_utils
+
+log = logging.getLogger("prodiff_tpu.trainer")
+
+
+class MetricsWriter:
+    """TensorBoard writer with a JSONL fallback (reference logs scalars with
+    ``tr/``/``val/`` prefixes every ``tb_log_interval`` steps)."""
+
+    def __init__(self, work_dir: str):
+        self.work_dir = work_dir
+        os.makedirs(work_dir, exist_ok=True)
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.tb = SummaryWriter(log_dir=work_dir)
+        except Exception:
+            self.tb = None
+        self.jsonl = open(os.path.join(work_dir, "metrics.jsonl"), "a")
+
+    def add_scalars(self, metrics: Dict[str, float], step: int, prefix: str = ""):
+        import json
+
+        rec = {"step": step}
+        for k, v in metrics.items():
+            name = f"{prefix}{k}"
+            v = float(v)
+            rec[name] = v
+            if self.tb is not None:
+                self.tb.add_scalar(name, v, step)
+        self.jsonl.write(json.dumps(rec) + "\n")
+        self.jsonl.flush()
+
+    def close(self):
+        if self.tb is not None:
+            self.tb.close()
+        self.jsonl.close()
+
+
+class Trainer:
+    def __init__(self, hparams: dict, mesh=None):
+        self.hparams = hparams
+        self.work_dir = hparams["work_dir"]
+        self.seed = hparams.get("seed", 1234)
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self.n_devices = self.mesh.devices.size
+        self.max_updates = hparams.get("max_updates", 200000)
+        self.val_check_interval = hparams.get("val_check_interval", 2000)
+        self.tb_log_interval = hparams.get("tb_log_interval", 10)
+        self.num_ckpt_keep = hparams.get("num_ckpt_keep", 3)
+        self.monitor_key = hparams.get("valid_monitor_key", "val_loss")
+        self.monitor_mode = hparams.get("valid_monitor_mode", "min")
+        self.check_nans = hparams.get("print_nan_grads", False)
+        self.global_step = 0
+        self.current_epoch = 0
+        self.best_val = np.inf if self.monitor_mode == "min" else -np.inf
+
+    # ---- state ------------------------------------------------------------
+
+    def build(self, task, example_batch: Dict[str, np.ndarray]):
+        self.task = task
+        self.model = task.build_model()
+        self.tx = build_optimizer(self.hparams)
+        self.lr_schedule = build_lr_schedule(self.hparams)
+        rng = jax.random.PRNGKey(self.seed)
+        params = task.init_params(rng, example_batch)
+        n_params = sum(x.size for x in jax.tree.leaves(params))
+        log.info("| model params: %.2fM", n_params / 1e6)
+        opt_state = self.tx.init(params["params"] if "params" in params else params)
+        # keep the full variables dict as "params" pytree for apply()
+        self.state = {
+            "params": replicate(params, self.mesh),
+            "opt_state": replicate(opt_state, self.mesh),
+            "step": jnp.zeros((), jnp.int32),
+        }
+        self._compile_steps()
+        return self.state
+
+    def _compile_steps(self):
+        task, tx = self.task, self.tx
+        bshard = batch_sharding(self.mesh)
+
+        def train_step(state, batch, rng):
+            step_rng = jax.random.fold_in(rng, state["step"])
+
+            def loss_fn(variables):
+                losses = task.compute_losses(
+                    variables, batch, step_rng, deterministic=False
+                )
+                return sum(losses.values()), losses
+
+            (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["params"]
+            )
+            inner = grads["params"] if "params" in grads else grads
+            params_inner = (
+                state["params"]["params"]
+                if "params" in state["params"]
+                else state["params"]
+            )
+            updates, new_opt = tx.update(inner, state["opt_state"], params_inner)
+            new_inner = jax.tree.map(lambda p, u: p + u, params_inner, updates)
+            new_params = dict(state["params"])
+            if "params" in state["params"]:
+                new_params["params"] = new_inner
+            else:
+                new_params = new_inner
+            grad_norm = jnp.sqrt(
+                sum(jnp.sum(jnp.square(g)) for g in jax.tree.leaves(inner))
+            )
+            metrics = {k: v for k, v in losses.items()}
+            metrics["total_loss"] = total
+            metrics["grad_norm"] = grad_norm
+            new_state = {
+                "params": new_params,
+                "opt_state": new_opt,
+                "step": state["step"] + 1,
+            }
+            return new_state, metrics
+
+        def val_step(state, batch, rng):
+            losses = task.compute_losses(
+                state["params"], batch, rng, deterministic=True
+            )
+            losses["total_loss"] = sum(losses.values())
+            return losses
+
+        self.train_step = jax.jit(
+            train_step, in_shardings=(None, bshard, None), donate_argnums=(0,)
+        )
+        self.val_step = jax.jit(val_step, in_shardings=(None, bshard, None))
+
+    # ---- checkpointing ------------------------------------------------------
+
+    def save_checkpoint(self):
+        payload = {
+            "global_step": int(self.global_step),
+            "epoch": int(self.current_epoch),
+            "checkpoint_callback_best": float(self.best_val),
+            "state_dict": serialization.to_state_dict(
+                jax.tree.map(np.asarray, self.state["params"])
+            ),
+            "optimizer_state": serialization.to_state_dict(
+                jax.tree.map(np.asarray, self.state["opt_state"])
+            ),
+        }
+        path = ckpt_utils.save_checkpoint(
+            self.work_dir, self.global_step, payload, self.num_ckpt_keep
+        )
+        log.info("| saved checkpoint %s", path)
+        return path
+
+    def restore_checkpoint(self) -> bool:
+        payload = ckpt_utils.load_last_checkpoint(self.work_dir)
+        if payload is None:
+            return False
+        self.global_step = int(payload["global_step"])
+        self.current_epoch = int(payload.get("epoch", 0))
+        self.best_val = float(payload.get("checkpoint_callback_best", self.best_val))
+        params = serialization.from_state_dict(
+            jax.device_get(self.state["params"]), payload["state_dict"]
+        )
+        opt_state = serialization.from_state_dict(
+            jax.device_get(self.state["opt_state"]), payload["optimizer_state"]
+        )
+        self.state = {
+            "params": replicate(params, self.mesh),
+            "opt_state": replicate(opt_state, self.mesh),
+            "step": jnp.asarray(self.global_step, jnp.int32),
+        }
+        log.info("| restored checkpoint at step %d", self.global_step)
+        return True
+
+    # ---- loops --------------------------------------------------------------
+
+    def fit(self, task, max_steps: Optional[int] = None):
+        """Full training loop: restore -> epochs -> periodic eval + ckpt."""
+        max_steps = max_steps or self.max_updates
+        train_iter_factory = lambda: task.train_iterator(self.n_devices)
+        # build from the first batch (defines static shapes for init only)
+        first_batch = next(iter(train_iter_factory()))
+        self.build(task, first_batch)
+        self.restore_checkpoint()
+        writer = MetricsWriter(self.work_dir)
+        rng = jax.random.PRNGKey(self.seed)
+
+        t_start = time.time()
+        frames_done = 0
+        try:
+            while self.global_step < max_steps:
+                self.current_epoch += 1
+                for batch in train_iter_factory():
+                    if self.global_step >= max_steps:
+                        break
+                    nsamples = batch.pop("nsamples", None)
+                    sharded = shard_batch(batch, self.mesh)
+                    self.state, metrics = self.train_step(self.state, sharded, rng)
+                    self.global_step += 1
+                    if self.global_step % self.tb_log_interval == 0:
+                        metrics = jax.device_get(metrics)
+                        metrics["lr"] = float(self.lr_schedule(self.global_step))
+                        if self.check_nans and not np.isfinite(
+                            metrics["grad_norm"]
+                        ):
+                            raise FloatingPointError(
+                                f"non-finite grad norm at step {self.global_step}"
+                            )
+                        writer.add_scalars(metrics, self.global_step, prefix="tr/")
+                    if self.global_step % self.val_check_interval == 0:
+                        val = self.evaluate(task)
+                        writer.add_scalars(val, self.global_step, prefix="val/")
+                        self._maybe_save_best(val.get("total_loss"))
+                        self.save_checkpoint()
+        except KeyboardInterrupt:
+            log.info("| interrupted; saving checkpoint")
+            self.save_checkpoint()
+            raise
+        finally:
+            writer.close()
+        if self.global_step % self.val_check_interval != 0:
+            self.save_checkpoint()
+        dt = time.time() - t_start
+        log.info("| training done: %d steps in %.1fs", self.global_step, dt)
+        return self.state
+
+    def evaluate(self, task, max_batches: Optional[int] = None) -> Dict[str, float]:
+        sums: Dict[str, float] = {}
+        weights: Dict[str, float] = {}
+        rng = jax.random.PRNGKey(self.seed + 1)
+        plotted = False
+        for i, batch in enumerate(task.val_iterator(self.n_devices)):
+            if max_batches is not None and i >= max_batches:
+                break
+            nsamples = batch.pop("nsamples", 1)
+            sharded = shard_batch(batch, self.mesh)
+            losses = jax.device_get(self.val_step(self.state, sharded, rng))
+            for k, v in losses.items():
+                sums[k] = sums.get(k, 0.0) + float(v) * nsamples
+                weights[k] = weights.get(k, 0.0) + nsamples
+            if not plotted:
+                task.validation_plots(
+                    self.state["params"], batch, self.global_step,
+                    os.path.join(self.work_dir, "plots"),
+                )
+                plotted = True
+        return {k: sums[k] / max(weights[k], 1) for k in sums}
+
+    def _maybe_save_best(self, val_loss: Optional[float]):
+        if val_loss is None:
+            return
+        improved = (
+            val_loss < self.best_val
+            if self.monitor_mode == "min"
+            else val_loss > self.best_val
+        )
+        if improved and self.hparams.get("save_best", True):
+            self.best_val = val_loss
+            self.save_checkpoint()
+            ckpt_utils.save_best_copy(self.work_dir, self.global_step)

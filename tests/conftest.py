@@ -1,15 +1,23 @@
 """Test harness: force an 8-device CPU platform so multi-chip sharding logic
 is exercised without TPU hardware (the JAX-native replacement for the
-reference's 'spawn NCCL processes to test multi-GPU')."""
+reference's 'spawn NCCL processes to test multi-GPU').
+
+Note: the environment's sitecustomize imports jax at interpreter start (axon
+TPU plugin), so env vars alone are too late here — use jax.config.update.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
