@@ -1,0 +1,98 @@
+"""NSF-HiFiGAN vocoder wrapper (reference ``component/vocoder/nsf_hifigan.py``).
+
+Loads the released torch checkpoint + its ``config.json``, converts weights to
+flax, and runs the generator jitted on TPU. The training convention is
+log10-mel; the generator wants natural log, hence the ``* 2.30259``
+(``nsf_hifigan.py:52``).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prodiff_tpu.models.nsf_hifigan import Generator
+from prodiff_tpu.ops.mel import LOG10_TO_LN, MelSpectrogram
+from prodiff_tpu.vocoders import BaseVocoder, register_vocoder
+
+
+@register_vocoder
+class NsfHifiGAN(BaseVocoder):
+    def __init__(self, hparams: dict, params=None, config: Optional[dict] = None):
+        super().__init__(hparams)
+        if params is None:
+            model_path = hparams["vocoder_ckpt"]
+            config_file = os.path.join(os.path.dirname(model_path), "config.json")
+            assert os.path.exists(model_path), f"HifiGAN model not found: {model_path}"
+            with open(config_file) as f:
+                self.h = json.load(f)
+            from prodiff_tpu.utils.torch_convert import (
+                convert_nsf_hifigan,
+                load_torch_state_dict,
+            )
+
+            sd = load_torch_state_dict(model_path)
+            self.params = jax.tree.map(jnp.asarray, convert_nsf_hifigan(sd, self.h))
+        else:
+            self.params = params
+            self.h = config
+        self._check_params()
+        self.model = Generator.from_config(self.h)
+
+    def _check_params(self):
+        hp, h = self.hparams, self.h
+        pairs = [
+            ("audio_sample_rate", "sampling_rate"),
+            ("audio_num_mel_bins", "num_mels"),
+            ("fft_size", "n_fft"),
+            ("win_size", "win_size"),
+            ("hop_size", "hop_size"),
+            ("fmin", "fmin"),
+            ("fmax", "fmax"),
+        ]
+        for hk, vk in pairs:
+            if hk in hp and vk in h and hp[hk] != h[vk]:
+                print(
+                    f"| Mismatch parameters: hparams[{hk!r}]={hp[hk]} != {h[vk]} (vocoder)"
+                )
+
+    @functools.cached_property
+    def _jitted(self):
+        @jax.jit
+        def run(params, mel_ln, f0, rng):
+            return self.model.apply(params, mel_ln, f0, rngs={"noise": rng})
+
+        return run
+
+    def spec2wav_batch(self, mel, f0, rng=None):
+        """mel: [B, T, M] log10 -> wav [B, T*upp] (jitted, device arrays)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        return self._jitted(self.params, jnp.asarray(mel) * LOG10_TO_LN, jnp.asarray(f0), rng)
+
+    def spec2wav(self, mel, f0=None, rng=None, **kwargs):
+        """mel: [T, M] log10 -> wav numpy [T*upp]."""
+        wav = self.spec2wav_batch(np.asarray(mel)[None], np.asarray(f0)[None], rng)
+        return np.asarray(wav[0])
+
+    @staticmethod
+    def wav2spec(inp_path: str, hparams: dict, keyshift=0, speed=1):
+        from prodiff_tpu.utils.audio import load_wav
+
+        wav, _ = load_wav(inp_path, sr=hparams["audio_sample_rate"])
+        extractor = MelSpectrogram(
+            sr=hparams["audio_sample_rate"],
+            n_mels=hparams["audio_num_mel_bins"],
+            n_fft=hparams["fft_size"],
+            win_size=hparams["win_size"],
+            hop_length=hparams["hop_size"],
+            fmin=hparams["fmin"],
+            fmax=hparams["fmax"],
+        )
+        mel = extractor.wav2mel_log10(jnp.asarray(wav)[None], keyshift=keyshift, speed=speed)
+        return wav, np.asarray(mel[0])

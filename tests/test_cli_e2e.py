@@ -1,0 +1,116 @@
+"""End-to-end CLI test: train svs -> infer a .ds project -> wav on disk.
+
+Covers the minimum end-to-end slice of SURVEY.md §7.3 (given ph_dur/f0, no aux
+predictors) including the torch-vocoder-checkpoint conversion path.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+import yaml
+from click.testing import CliRunner
+
+torch = pytest.importorskip("torch")
+
+from prodiff_tpu.utils.synthetic import make_svs_dataset, small_hparams
+
+VOCODER_H = {
+    "num_mels": 16,
+    "sampling_rate": 44100,
+    "upsample_initial_channel": 32,
+    "upsample_rates": [4, 4, 2],
+    "upsample_kernel_sizes": [8, 8, 4],
+    "resblock": "1",
+    "resblock_kernel_sizes": [3, 7],
+    "resblock_dilation_sizes": [[1, 3, 5], [1, 3, 5]],
+    "n_fft": 512,
+    "win_size": 512,
+    "hop_size": 32,
+    "fmin": 40,
+    "fmax": 16000,
+}
+
+
+def _make_torch_vocoder_ckpt(dirname):
+    sys.path.insert(0, "/root/reference")
+    import importlib
+
+    models = importlib.import_module("modules.nsf_hifigan.models")
+    env = importlib.import_module("modules.nsf_hifigan.env")
+    torch.manual_seed(0)
+    gen = models.Generator(env.AttrDict(VOCODER_H))
+    os.makedirs(dirname, exist_ok=True)
+    path = os.path.join(dirname, "model")
+    torch.save({"generator": gen.state_dict()}, path)
+    with open(os.path.join(dirname, "config.json"), "w") as f:
+        json.dump(VOCODER_H, f)
+    return path
+
+
+@pytest.mark.slow
+def test_train_then_infer_cli(tmp_path, monkeypatch):
+    from main import main as cli
+
+    monkeypatch.chdir(tmp_path)
+    data_dir = str(tmp_path / "data")
+    make_svs_dataset(data_dir, "svs")
+    voc_path = _make_torch_vocoder_ckpt(str(tmp_path / "nsf_hifigan"))
+
+    hp = small_hparams(data_dir, "svs")
+    hp.update(
+        max_updates=8,
+        val_check_interval=8,
+        hop_size=32,  # matches the tiny vocoder's upsample product
+        audio_sample_rate=44100,
+        vocoder_ckpt=voc_path,
+        num_valid_plots=1,
+    )
+    hp.pop("work_dir")
+    hp.pop("task")
+    cfg_fn = str(tmp_path / "config.yaml")
+    with open(cfg_fn, "w") as f:
+        yaml.dump(hp, f)
+
+    runner = CliRunner()
+    res = runner.invoke(
+        cli, ["train", "svs", "--config", cfg_fn, "--exp_name", "t1"],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    assert os.path.exists("checkpoints/t1/svs/model_ckpt_steps_8.ckpt")
+
+    # minimal .ds: two segments with given durations and pitch
+    seg = {
+        "ph_seq": "a b c SP",
+        "ph_dur": "0.2 0.3 0.25 0.1",
+        "f0_seq": " ".join(["220.0"] * 18),
+        "f0_timestep": "0.05",
+        "offset": 0.0,
+    }
+    seg2 = dict(seg, offset=1.2)
+    proj_fn = str(tmp_path / "song.ds")
+    with open(proj_fn, "w") as f:
+        json.dump([seg, seg2], f)
+
+    res = runner.invoke(
+        cli,
+        [
+            "infer", proj_fn, "--exp_name", "t1",
+            "--spk_name", "spk0:0.5|spk1:0.5", "--lang", "zh",
+            "--keyshift", "2",
+        ],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    outs = os.listdir("infer_out")
+    assert len(outs) == 1 and outs[0].endswith(".wav")
+    from scipy.io import wavfile
+
+    sr, wav = wavfile.read(os.path.join("infer_out", outs[0]))
+    assert sr == 44100
+    # 2 segments: second offset at 1.2s plus its duration (0.85s)
+    assert len(wav) >= int(1.2 * sr)
+    assert np.isfinite(wav).all()
