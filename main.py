@@ -137,7 +137,7 @@ def web(exp_name, port):
     WebHandler(exp_name=exp_name, port=port).handle()
 
 
-@main.command()
+@main.command(name="merge_rectified")
 @click.argument("target_ckpt", type=str)
 @click.argument("component_ckpt", type=str)
 def merge_rectified(target_ckpt, component_ckpt):
