@@ -65,6 +65,7 @@ class BaseDataset:
 
     # static-shape metadata, overridden per task
     time_keys: Dict[str, int] = {}
+    pad_values: Dict[str, float] = {}
 
     def pad_batch(
         self, batch: Dict[str, np.ndarray], batch_multiple: int = 1
@@ -74,6 +75,7 @@ class BaseDataset:
             time_keys=self.time_keys,
             batch_buckets=self.hparams.get("batch_size_buckets", [1, 2, 4, 8, 16, 32, 48]),
             length_bucket_step=self.hparams.get("length_bucket_step", 128),
+            pad_values=self.pad_values,
             batch_multiple=batch_multiple,
         )
 
