@@ -166,10 +166,12 @@ class SVSInferHandler:
     def get_speaker_mix(self, spk_name: Optional[str]) -> Dict[str, float]:
         if spk_name is None or spk_name == "":
             spk_mix_map = {list(self.spk_map.keys())[0]: 1.0}
-        else:
+        elif ":" in spk_name:
             spk_mix_map = dict(x.split(":") for x in spk_name.split("|"))
             for k in spk_mix_map:
                 spk_mix_map[k] = float(spk_mix_map[k])
+        else:
+            spk_mix_map = {spk_name: 1.0}
         for name in spk_mix_map:
             assert name in self.spk_map, f"Speaker name {name} not found in spk_map"
         total = sum(spk_mix_map.values())

@@ -1,0 +1,407 @@
+"""FastDiff conditional waveform diffusion vocoder
+(reference ``modules/FastDiff/module/FastDiff_model.py``, ``modules.py``).
+
+Downsample pyramid (DiffusionDBlocks) + 3 time-aware LVC blocks whose
+kernel-predictor produces per-frame location-variable conv kernels from
+mel + noise embedding; epsilon-prediction reverse diffusion with 4/6/8/1000
+step schedules.
+
+TPU-first LVC: the reference's unfold + ``bildsk,biokl->bolsd`` einsum
+(``modules.py:220-255``) becomes a windowed batched GEMM —
+``[B*L, hop, k*Cin] @ [B*L, k*Cin, Cout]`` — which XLA tiles straight onto the
+MXU. Layout is [B, T, C] throughout.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LRELU = 0.1
+
+
+def diffusion_step_embedding(steps: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """steps: [B, 1] (possibly fractional) -> [B, dim] sin|cos embedding
+    (``util.py:404-431``)."""
+    half = dim // 2
+    emb = np.log(10000) / (half - 1)
+    freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -emb)
+    args = steps.astype(jnp.float32) * freqs[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+class ConvTranspose1dTorch(nn.Module):
+    """torch ConvTranspose1d with explicit padding/output_padding via input
+    dilation; kernel stored pre-flipped [k, Cin, Cout]."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int
+    output_padding: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.normal(0.02),
+            (self.kernel_size, cin, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        pad = self.kernel_size - 1 - self.padding
+        y = jax.lax.conv_general_dilated(
+            x, kernel,
+            window_strides=(1,),
+            padding=[(pad, pad + self.output_padding)],
+            lhs_dilation=(self.stride,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return y + bias
+
+
+class DiffusionDBlock(nn.Module):
+    hidden_size: int
+    factor: int
+
+    @nn.compact
+    def __call__(self, x):
+        """x: [B, T, C] -> [B, T//factor, C] (nearest downsample + dilated convs)."""
+        size = x.shape[1] // self.factor
+        down = x[:, :: self.factor][:, :size]
+        residual = nn.Conv(self.hidden_size, (1,), name="residual_dense")(down)
+        h = down
+        for i, d in enumerate([1, 2, 4]):
+            h = nn.leaky_relu(h, 0.2)
+            h = nn.Conv(
+                self.hidden_size, (3,), kernel_dilation=(d,), padding="SAME",
+                name=f"conv_{i}",
+            )(h)
+        return h + residual
+
+
+class KernelPredictor(nn.Module):
+    conv_in_channels: int
+    conv_out_channels: int
+    conv_layers: int
+    conv_kernel_size: int = 3
+    hidden_channels: int = 64
+    conv_size: int = 3
+
+    @nn.compact
+    def __call__(self, c):
+        """c: [B, L, cond] -> kernels [B, L, layers, Cin, Cout, k], bias [B, L, layers, Cout]."""
+        k = self.conv_kernel_size
+        l_w = self.conv_in_channels * self.conv_out_channels * k * self.conv_layers
+        l_b = self.conv_out_channels * self.conv_layers
+        h = nn.Conv(self.hidden_channels, (5,), padding="SAME", name="input_conv")(c)
+        h = nn.leaky_relu(h, LRELU)
+        r = h
+        for i in range(6):
+            r = nn.Conv(
+                self.hidden_channels, (self.conv_size,), padding="SAME",
+                name=f"residual_conv_{i}",
+            )(r)
+            r = nn.leaky_relu(r, LRELU)
+        h = h + r
+        kernels = nn.Conv(l_w, (self.conv_size,), padding="SAME", name="kernel_conv")(h)
+        bias = nn.Conv(l_b, (self.conv_size,), padding="SAME", name="bias_conv")(h)
+        b, L = c.shape[0], c.shape[1]
+        kernels = kernels.reshape(
+            b, L, self.conv_layers, self.conv_in_channels, self.conv_out_channels, k
+        )
+        bias = bias.reshape(b, L, self.conv_layers, self.conv_out_channels)
+        return kernels, bias
+
+
+def location_variable_convolution(
+    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray, hop_size: int
+) -> jnp.ndarray:
+    """Per-frame predicted convolution as a windowed batched GEMM.
+
+    Args:
+      x: [B, T, Cin] with T == L * hop_size.
+      kernel: [B, L, Cin, Cout, k]
+      bias: [B, L, Cout]
+
+    Returns: [B, T, Cout]
+    """
+    b, t, cin = x.shape
+    _, L, _, cout, k = kernel.shape
+    assert t == L * hop_size, f"LVC length mismatch: {t} != {L}*{hop_size}"
+    p = (k - 1) // 2
+    xpad = jnp.pad(x, [(0, 0), (p, p), (0, 0)])
+    # windows: for each tap offset, a shifted view; -> [B, T, k, Cin]
+    taps = jnp.stack([xpad[:, i : i + t] for i in range(k)], axis=2)
+    xw = taps.reshape(b, L, hop_size, k * cin)
+    kmat = kernel.transpose(0, 1, 4, 2, 3).reshape(b, L, k * cin, cout)
+    y = jnp.einsum(
+        "blhi,blio->blho", xw, kmat, preferred_element_type=jnp.float32
+    )
+    y = y + bias[:, :, None, :]
+    return y.reshape(b, L * hop_size, cout)
+
+
+class TimeAwareLVCBlock(nn.Module):
+    in_channels: int
+    cond_channels: int
+    upsample_ratio: int
+    conv_layers: int = 4
+    conv_kernel_size: int = 3
+    cond_hop_length: int = 256
+    kpnet_hidden_channels: int = 64
+    kpnet_conv_size: int = 3
+    noise_scale_embed_dim_out: int = 512
+
+    @nn.compact
+    def __call__(self, x, audio_down, c, noise_embedding):
+        """x: [B, T, C]; audio_down: [B, T*r, C]; c: [B, L, cond]."""
+        noise = nn.Dense(self.cond_channels, name="fc_t")(noise_embedding)  # [B, cond]
+        condition = c + noise[:, None, :]
+        kernels, bias = KernelPredictor(
+            conv_in_channels=self.in_channels,
+            conv_out_channels=2 * self.in_channels,
+            conv_layers=self.conv_layers,
+            conv_kernel_size=self.conv_kernel_size,
+            hidden_channels=self.kpnet_hidden_channels,
+            conv_size=self.kpnet_conv_size,
+            name="kernel_predictor",
+        )(condition)
+        x = nn.leaky_relu(x, 0.2)
+        r = self.upsample_ratio
+        x = ConvTranspose1dTorch(
+            self.in_channels, kernel_size=2 * r, stride=r,
+            padding=r // 2 + r % 2, output_padding=r % 2, name="upsample",
+        )(x)
+        for i in range(self.conv_layers):
+            x = x + audio_down
+            y = nn.leaky_relu(x, 0.2)
+            y = nn.Conv(
+                self.in_channels, (self.conv_kernel_size,),
+                kernel_dilation=(3 ** i,), padding="SAME", name=f"convs_{i}",
+            )(y)
+            y = nn.leaky_relu(y, 0.2)
+            y = location_variable_convolution(
+                y, kernels[:, :, i], bias[:, :, i], self.cond_hop_length
+            )
+            gate, filt = y[..., : self.in_channels], y[..., self.in_channels :]
+            x = x + jax.nn.sigmoid(gate) * jnp.tanh(filt)
+        return x
+
+
+class FastDiff(nn.Module):
+    audio_channels: int = 1
+    inner_channels: int = 32
+    cond_channels: int = 80
+    upsample_ratios: Sequence[int] = (8, 8, 4)
+    lvc_layers_each_block: int = 4
+    lvc_kernel_size: int = 3
+    kpnet_hidden_channels: int = 64
+    kpnet_conv_size: int = 3
+    diffusion_step_embed_dim_in: int = 128
+    diffusion_step_embed_dim_mid: int = 512
+    diffusion_step_embed_dim_out: int = 512
+
+    @nn.compact
+    def __call__(self, audio, c, diffusion_steps):
+        """audio: [B, T, 1]; c: [B, L, cond] (T == L * prod(ratios));
+        diffusion_steps: [B, 1] -> epsilon [B, T, 1]."""
+        emb = diffusion_step_embedding(diffusion_steps, self.diffusion_step_embed_dim_in)
+        emb = swish(nn.Dense(self.diffusion_step_embed_dim_mid, name="fc_t1")(emb))
+        emb = swish(nn.Dense(self.diffusion_step_embed_dim_out, name="fc_t2")(emb))
+
+        x = nn.Conv(self.inner_channels, (7,), padding="SAME", name="first_audio_conv")(audio)
+        n_blocks = len(self.upsample_ratios)
+        downsampled = []
+        for i in range(n_blocks):
+            downsampled.append(x)
+            x = DiffusionDBlock(
+                self.inner_channels,
+                self.upsample_ratios[n_blocks - i - 1],
+                name=f"downsample_{i}",
+            )(x)
+
+        cond_hop = 1
+        for n in range(n_blocks):
+            cond_hop *= self.upsample_ratios[n]
+            x = TimeAwareLVCBlock(
+                in_channels=self.inner_channels,
+                cond_channels=self.cond_channels,
+                upsample_ratio=self.upsample_ratios[n],
+                conv_layers=self.lvc_layers_each_block,
+                conv_kernel_size=self.lvc_kernel_size,
+                cond_hop_length=cond_hop,
+                kpnet_hidden_channels=self.kpnet_hidden_channels,
+                kpnet_conv_size=self.kpnet_conv_size,
+                noise_scale_embed_dim_out=self.diffusion_step_embed_dim_out,
+                name=f"lvc_blocks_{n}",
+            )(x, downsampled[n_blocks - 1 - n], c, emb)
+        return nn.Conv(self.audio_channels, (7,), padding="SAME", name="final_conv")(x)
+
+
+# ---- diffusion hyperparams + sampling ----------------------------------------
+
+
+def compute_hyperparams_given_schedule(beta: np.ndarray) -> dict:
+    """(``util.py:99-124``): cumulative alpha/sigma from a beta schedule."""
+    beta = np.asarray(beta, np.float64)
+    T = len(beta)
+    alpha = 1 - beta
+    sigma = beta.copy()
+    for t in range(1, T):
+        alpha[t] *= alpha[t - 1]
+        sigma[t] *= (1 - alpha[t - 1]) / (1 - alpha[t])
+    return {"T": T, "beta": beta, "alpha": np.sqrt(alpha), "sigma": np.sqrt(sigma)}
+
+
+def map_noise_scale_to_time_step(alpha_infer: float, alpha: np.ndarray) -> float:
+    if alpha_infer < alpha[-1]:
+        return len(alpha) - 1
+    if alpha_infer > alpha[0]:
+        return 0
+    for t in range(len(alpha) - 1):
+        if alpha[t + 1] <= alpha_infer <= alpha[t]:
+            step_diff = (alpha[t] - alpha_infer) / (alpha[t] - alpha[t + 1])
+            return t + float(step_diff)
+    return -1
+
+
+def prepare_inference_schedule(
+    inference_noise_schedule: np.ndarray, alpha_train: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """-> (beta_infer, alpha_infer, sigma_infer, steps_infer), host-side."""
+    beta_infer = np.asarray(inference_noise_schedule, np.float64)
+    N = len(beta_infer)
+    alpha_infer = 1 - beta_infer
+    sigma_infer = beta_infer.copy()
+    for n in range(1, N):
+        alpha_infer[n] *= alpha_infer[n - 1]
+        sigma_infer[n] *= (1 - alpha_infer[n - 1]) / (1 - alpha_infer[n])
+    alpha_infer = np.sqrt(alpha_infer)
+    sigma_infer = np.sqrt(sigma_infer)
+    steps_infer = []
+    keep = []
+    for n in range(N):
+        step = map_noise_scale_to_time_step(alpha_infer[n], alpha_train)
+        if step >= 0:
+            steps_infer.append(step)
+            keep.append(n)
+    keep = np.asarray(keep, np.int64)
+    return (
+        beta_infer[keep],
+        alpha_infer[keep],
+        sigma_infer[keep],
+        np.asarray(steps_infer, np.float64),
+    )
+
+
+def sampling_given_noise_schedule(
+    apply_fn,
+    params,
+    rng: jax.Array,
+    audio_length: int,
+    cond: jnp.ndarray,
+    beta_infer: np.ndarray,
+    alpha_infer: np.ndarray,
+    sigma_infer: np.ndarray,
+    steps_infer: np.ndarray,
+) -> jnp.ndarray:
+    """Reverse epsilon-prediction diffusion as a lax.scan
+    (``util.py:158-234``). cond: [B, L, C] -> wav [B, audio_length]."""
+    b = cond.shape[0]
+    n = len(steps_infer)
+    rng_init, rng_loop = jax.random.split(rng)
+    x = jax.random.normal(rng_init, (b, audio_length, 1))
+    noises = jax.random.normal(rng_loop, (n, b, audio_length, 1))
+
+    consts = (
+        jnp.asarray(beta_infer, jnp.float32),
+        jnp.asarray(alpha_infer, jnp.float32),
+        jnp.asarray(sigma_infer, jnp.float32),
+        jnp.asarray(steps_infer, jnp.float32),
+    )
+
+    def body(x, inp):
+        i, noise = inp
+        beta_n = consts[0][i]
+        alpha_n = consts[1][i]
+        sigma_n = consts[2][i]
+        step_n = consts[3][i]
+        eps = apply_fn(params, x, cond, jnp.full((b, 1), step_n))
+        x = x - beta_n / jnp.sqrt(1 - alpha_n ** 2) * eps
+        x = x / jnp.sqrt(1 - beta_n)
+        x = jnp.where(i > 0, x + sigma_n * noise, x)
+        return x, None
+
+    idxs = jnp.arange(n - 1, -1, -1)
+    x, _ = jax.lax.scan(body, x, (idxs, noises))
+    return x[..., 0]
+
+
+# ---- torch ckpt conversion -----------------------------------------------------
+
+
+def _conv1d(w):
+    return np.ascontiguousarray(np.transpose(w, (2, 1, 0)))
+
+
+def _convt1d(w):
+    return np.ascontiguousarray(np.transpose(w[:, :, ::-1], (2, 0, 1)))
+
+
+def convert_fastdiff(sd: dict, config: dict) -> dict:
+    """Reference FastDiff state dict (weight-norm folded) -> flax params."""
+    from prodiff_tpu.utils.torch_convert import fold_weight_norm
+
+    sd = fold_weight_norm({k: np.asarray(v) for k, v in sd.items()})
+
+    def conv(src):
+        return {"kernel": _conv1d(sd[src + ".weight"]), "bias": sd[src + ".bias"]}
+
+    def dense(src):
+        return {"kernel": sd[src + ".weight"].T, "bias": sd[src + ".bias"]}
+
+    p = {
+        "first_audio_conv": conv("first_audio_conv"),
+        "fc_t1": dense("fc_t1"),
+        "fc_t2": dense("fc_t2"),
+        "final_conv": conv("final_conv.0"),
+    }
+    n_blocks = len(config["upsample_ratios"])
+    for i in range(n_blocks):
+        p[f"downsample_{i}"] = {
+            "residual_dense": conv(f"downsample.{i}.residual_dense"),
+            **{
+                f"conv_{j}": conv(f"downsample.{i}.conv.{j}") for j in range(3)
+            },
+        }
+        kp = {
+            "input_conv": conv(f"lvc_blocks.{i}.kernel_predictor.input_conv.0"),
+            "kernel_conv": conv(f"lvc_blocks.{i}.kernel_predictor.kernel_conv"),
+            "bias_conv": conv(f"lvc_blocks.{i}.kernel_predictor.bias_conv"),
+        }
+        # residual_conv Sequential indices with convs at 1,3,6,8,11,13
+        for j, idx in enumerate([1, 3, 6, 8, 11, 13]):
+            kp[f"residual_conv_{j}"] = conv(
+                f"lvc_blocks.{i}.kernel_predictor.residual_conv.{idx}"
+            )
+        block = {
+            "fc_t": dense(f"lvc_blocks.{i}.fc_t"),
+            "upsample": {
+                "kernel": _convt1d(sd[f"lvc_blocks.{i}.upsample.weight"]),
+                "bias": sd[f"lvc_blocks.{i}.upsample.bias"],
+            },
+            "kernel_predictor": kp,
+        }
+        for j in range(config["lvc_layers_each_block"]):
+            block[f"convs_{j}"] = conv(f"lvc_blocks.{i}.convs.{j}")
+        p[f"lvc_blocks_{i}"] = block
+    return {"params": p}

@@ -22,10 +22,14 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(obj, dict):
+    # unwrap nested containers like {"state_dict": {"model": {...}}}
+    unwrapped = True
+    while isinstance(obj, dict) and unwrapped:
+        unwrapped = False
         for key in ("generator", "state_dict", "model"):
             if key in obj and isinstance(obj[key], dict):
                 obj = obj[key]
+                unwrapped = True
                 break
     return {k: v.numpy() if hasattr(v, "numpy") else v for k, v in obj.items()}
 
