@@ -137,6 +137,38 @@ def web(exp_name, port):
     WebHandler(exp_name=exp_name, port=port).handle()
 
 
+@main.command(name="convert_ckpt")
+@click.argument("torch_ckpt", type=str)
+@click.option("--config", type=str, required=True, help="hparams yaml describing the model")
+@click.option("--out", type=str, default=None, help="output path (default: alongside input)")
+@click.option("--step", type=int, default=0, help="global step to stamp")
+def convert_ckpt(torch_ckpt, config, out, step):
+    """Convert a reference (torch) ProDiffTeacher checkpoint into this
+    framework's format, so released SVS models load directly."""
+    import os
+
+    from flax import serialization
+
+    from prodiff_tpu.utils.teacher_convert import load_reference_teacher_ckpt
+
+    hparams = set_hparams(config_fn=config, task="svs", make_work_dir=False)
+    variables = load_reference_teacher_ckpt(torch_ckpt, hparams)
+    payload = {
+        "global_step": step,
+        "epoch": 0,
+        "checkpoint_callback_best": 0.0,
+        "state_dict": variables,
+        "optimizer_state": {},
+    }
+    out = out or os.path.join(
+        os.path.dirname(torch_ckpt), f"model_ckpt_steps_{step}.ckpt"
+    )
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    with open(out, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+    print(f"| converted -> {out}")
+
+
 @main.command(name="merge_rectified")
 @click.argument("target_ckpt", type=str)
 @click.argument("component_ckpt", type=str)

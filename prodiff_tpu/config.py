@@ -33,19 +33,29 @@ def load_config(config_fn: str) -> Dict[str, Any]:
     with open(config_fn) as f:
         _hparams = yaml.safe_load(f) or {}
     base = _hparams.get("base_config", "")
+    if isinstance(base, (list, tuple)):
+        # legacy v1 multi-parent DFS (``utils/hparams.py:51-90``): later
+        # parents override earlier ones, the child overrides all
+        merged: Dict[str, Any] = {}
+        for b in base:
+            merged.update(load_config(_resolve_base_path(config_fn, b)))
+        merged.update({k: v for k, v in _hparams.items() if k != "base_config"})
+        return merged
     if base:
-        if base == "base" or base == "builtin":
-            base_fn = BASE_CONFIG_PATH
-        elif not os.path.isabs(base) and not os.path.exists(base):
-            # resolve relative to the including file, then cwd
-            cand = os.path.join(os.path.dirname(config_fn), base)
-            base_fn = cand if os.path.exists(cand) else base
-        else:
-            base_fn = base
-        base_hparams = load_config(base_fn)
+        base_hparams = load_config(_resolve_base_path(config_fn, base))
         base_hparams.update(_hparams)
         _hparams = base_hparams
     return _hparams
+
+
+def _resolve_base_path(config_fn: str, base: str) -> str:
+    if base in ("base", "builtin"):
+        return BASE_CONFIG_PATH
+    if not os.path.isabs(base) and not os.path.exists(base):
+        # resolve relative to the including file, then cwd
+        cand = os.path.join(os.path.dirname(config_fn), base)
+        return cand if os.path.exists(cand) else base
+    return base
 
 
 def load_base_config() -> Dict[str, Any]:

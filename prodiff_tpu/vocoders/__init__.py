@@ -16,6 +16,7 @@ def get_vocoder_cls(name: str):
 
     try:
         from prodiff_tpu.vocoders import fastdiff  # noqa: F401
+        from prodiff_tpu.vocoders import hifigan  # noqa: F401
     except ImportError:
         pass
     if name.lower() not in VOCODERS:
