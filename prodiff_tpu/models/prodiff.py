@@ -32,6 +32,9 @@ class ProDiffTeacher(nn.Module):
         hp = self.hparams
         hidden = hp["hidden_size"]
         self.mel_bins = hp["audio_num_mel_bins"]
+        # bf16 compute policy (params stay f32): the TPU-native replacement
+        # for the reference's fp16 AMP (``handler/train/handler.py:254``)
+        dtype = jnp.bfloat16 if hp.get("bf16", False) else None
         self.encoder = FastspeechEncoder(
             vocab_size=self.vocab_size,
             hidden_size=hidden,
@@ -39,6 +42,7 @@ class ProDiffTeacher(nn.Module):
             kernel_size=hp["enc_ffn_kernel_size"],
             dropout=hp["dropout"],
             num_heads=hp["num_heads"],
+            dtype=dtype,
         )
         self.with_dur_embed = hp.get("use_dur_embed", True)
         if self.with_dur_embed:
@@ -66,6 +70,7 @@ class ProDiffTeacher(nn.Module):
             residual_layers=hp["residual_layers"],
             residual_channels=hp["residual_channels"],
             dilation_cycle_length=hp["dilation_cycle_length"],
+            dtype=dtype,
         )
         self.diffusion_type = hp.get("diff_type", "prodiff")
         if self.diffusion_type == "prodiff":

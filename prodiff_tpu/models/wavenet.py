@@ -112,4 +112,5 @@ class WaveNet(nn.Module):
             dtype=self.dtype,
             name="output_projection",
         )(x)
-        return x
+        # keep the diffusion math (q_sample/posterior/losses) in f32
+        return x.astype(jnp.float32)

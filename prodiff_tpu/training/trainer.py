@@ -85,9 +85,14 @@ class Trainer:
         self.monitor_key = hparams.get("valid_monitor_key", "val_loss")
         self.monitor_mode = hparams.get("valid_monitor_mode", "min")
         self.check_nans = hparams.get("print_nan_grads", False)
+        self.num_sanity_val_steps = hparams.get("num_sanity_val_steps", -1)
+        self.profile_steps = hparams.get("profile_steps", 0)  # trace N hot steps
         self.global_step = 0
         self.current_epoch = 0
         self.best_val = np.inf if self.monitor_mode == "min" else -np.inf
+        if hparams.get("debug", False):
+            # the reference's NaN-grad hunt, compiler-level: fail fast on NaNs
+            jax.config.update("jax_debug_nans", True)
 
     # ---- state ------------------------------------------------------------
 
@@ -214,18 +219,34 @@ class Trainer:
         # build from the first batch (defines static shapes for init only)
         first_batch = next(iter(train_iter_factory()))
         self.build(task, first_batch)
-        self.restore_checkpoint()
+        restored = self.restore_checkpoint()
         writer = MetricsWriter(self.work_dir)
         rng = jax.random.PRNGKey(self.seed)
 
+        # sanity validation before training (reference: num_sanity_val_steps,
+        # ``handler/train/handler.py:186-188``) so a broken val path crashes
+        # at step 0, not at the first val_check_interval
+        if not restored and self.num_sanity_val_steps != 0:
+            n = None if self.num_sanity_val_steps < 0 else self.num_sanity_val_steps
+            sanity = self.evaluate(task, max_batches=n)
+            log.info("| sanity val: %s", {k: round(v, 4) for k, v in sanity.items()})
+
         t_start = time.time()
-        frames_done = 0
         try:
             while self.global_step < max_steps:
                 self.current_epoch += 1
                 for batch in train_iter_factory():
                     if self.global_step >= max_steps:
                         break
+                    if self.profile_steps and self.global_step == 10:
+                        jax.profiler.start_trace(
+                            os.path.join(self.work_dir, "profile")
+                        )
+                    if (
+                        self.profile_steps
+                        and self.global_step == 10 + self.profile_steps
+                    ):
+                        jax.profiler.stop_trace()
                     nsamples = batch.pop("nsamples", None)
                     sharded = shard_batch(batch, self.mesh)
                     self.state, metrics = self.train_step(self.state, sharded, rng)

@@ -36,6 +36,7 @@ def small_hparams(data_dir: str, task: str = "svs", **overrides) -> dict:
         batch_size_buckets=[1, 2, 4, 8],
         val_check_interval=10,
         tb_log_interval=5,
+        num_sanity_val_steps=0,
         warmup_updates=10,
         lr=0.05,
     )
