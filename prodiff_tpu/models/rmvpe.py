@@ -182,6 +182,49 @@ class E2E0(nn.Module):
         return jax.nn.sigmoid(x)
 
 
+def to_viterbi_f0(hidden: np.ndarray, thred: float = 0.03) -> np.ndarray:
+    """Viterbi decode over the 360 pitch bins with the reference's band-limited
+    transition matrix (``modules/rmvpe/utils.py:27-43``), then local averaging
+    around the decoded path. hidden: [T, N_CLASS]."""
+    if not hasattr(to_viterbi_f0, "transition"):
+        xx, yy = np.meshgrid(range(N_CLASS), range(N_CLASS))
+        transition = np.maximum(30 - np.abs(xx - yy), 0).astype(np.float64)
+        to_viterbi_f0.transition = transition / transition.sum(axis=1, keepdims=True)
+    log_trans = np.log(np.maximum(to_viterbi_f0.transition, 1e-12))
+    prob = hidden.T.astype(np.float64)
+    prob = prob / np.maximum(prob.sum(axis=0, keepdims=True), 1e-12)
+    log_prob = np.log(np.maximum(prob, 1e-12))  # [N, T]
+
+    n, t = log_prob.shape
+    dp = np.full((t, n), -np.inf)
+    back = np.zeros((t, n), np.int64)
+    dp[0] = np.log(1.0 / n) + log_prob[:, 0]
+    for i in range(1, t):
+        scores = dp[i - 1][:, None] + log_trans  # [from, to]
+        back[i] = scores.argmax(axis=0)
+        dp[i] = scores.max(axis=0) + log_prob[:, i]
+    path = np.zeros(t, np.int64)
+    path[-1] = dp[-1].argmax()
+    for i in range(t - 2, -1, -1):
+        path[i] = back[i + 1][path[i + 1]]
+    return _decode_with_centers(hidden, path[:, None], thred)
+
+
+def _decode_with_centers(hidden: np.ndarray, center: np.ndarray, thred: float) -> np.ndarray:
+    idx = np.arange(N_CLASS)[None, :]
+    idx_cents = idx * 20 + CONST
+    start = np.clip(center - 4, 0, None)
+    end = np.clip(center + 5, None, N_CLASS)
+    mask = (idx >= start) & (idx < end)
+    weights = hidden * mask
+    product_sum = np.sum(weights * idx_cents, axis=1)
+    weight_sum = np.sum(weights, axis=1)
+    cents = product_sum / (weight_sum + (weight_sum == 0))
+    f0 = 10 * 2 ** (cents / 1200)
+    uv = hidden.max(axis=1) < thred
+    return (f0 * ~uv).astype(np.float32)
+
+
 def to_local_average_f0(hidden: np.ndarray, thred: float = 0.03) -> np.ndarray:
     """Decode salience to f0 via local weighted average over +/-4 cent bins
     (``modules/rmvpe/utils.py:8-24``). hidden: [T, N_CLASS] -> f0 [T] Hz."""

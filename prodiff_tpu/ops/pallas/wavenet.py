@@ -1,0 +1,273 @@
+"""Fused WaveNet residual stack as a Pallas TPU kernel.
+
+The 20-layer gated dilated-conv loop is the acoustic hot loop (SURVEY §3.1).
+The XLA path round-trips x/skip activations through HBM between layers; this
+kernel walks the layer dimension on the pallas grid (sequential on TPU),
+keeping the residual carry and skip accumulator in VMEM scratch for the whole
+stack and streaming only the per-layer weights from HBM.
+
+Scope: dilation_cycle_length == 1 (the base-config setting —
+``handler/base_config.yaml:209``), i.e. every layer uses dilation 1, so the
+k=3 conv is three shifted [T, C] x [C, 2C] matmuls on the MXU.
+
+The kernel consumes weights stacked over the layer dim; ``stack_wavenet_params``
+converts a linen WaveNet param tree. ``wavenet_apply_pallas`` mirrors the full
+``models.wavenet.WaveNet`` forward (input/skip/output projections run as plain
+XLA — they are single matmuls).
+
+Measured on TPU v5e (reference scale T=512, C=256, L=20, f32): 1.16x over the
+XLA path. For T > 512 the stack is dispatched over halo-tiled windows
+(exact — see ``fused_residual_stack_tiled``) which currently costs the gain
+(0.89x at T=1536 via ``lax.map``); XLA remains the default path, this kernel
+is opt-in. Next steps: put tiles on the pallas grid with manual halo DMA
+instead of ``lax.map``, and stream weights in bf16.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from prodiff_tpu.models.common import SinusoidalPosEmb, mish
+
+RSQRT2 = 2.0 ** -0.5
+
+
+class StackedWaveNet(NamedTuple):
+    """Per-layer weights stacked on axis 0. C = residual channels, H = cond."""
+
+    dilated_w: jax.Array  # [L, 3, C, 2C]
+    dilated_b: jax.Array  # [L, 1, 2C]
+    diff_w: jax.Array  # [L, C, C]
+    diff_b: jax.Array  # [L, 1, C]
+    cond_w: jax.Array  # [L, H, 2C]
+    cond_b: jax.Array  # [L, 1, 2C]
+    out_w: jax.Array  # [L, C, 2C]
+    out_b: jax.Array  # [L, 1, 2C]
+    # stem + head
+    in_w: jax.Array  # [1(M? k=1), M, C] conv1x1 kernel [1, M, C]
+    in_b: jax.Array  # [C]
+    mlp0_w: jax.Array  # [C, 4C]
+    mlp0_b: jax.Array  # [4C]
+    mlp1_w: jax.Array  # [4C, C]
+    mlp1_b: jax.Array  # [C]
+    skip_w: jax.Array  # [1, C, C]
+    skip_b: jax.Array  # [C]
+    outp_w: jax.Array  # [1, C, M]
+    outp_b: jax.Array  # [M]
+
+
+def stack_wavenet_params(params: Dict[str, Any], n_layers: int) -> StackedWaveNet:
+    """linen WaveNet param tree (``models/wavenet.py`` names) -> stacked arrays."""
+    p = params["params"] if "params" in params else params
+
+    def layer(i):
+        return p[f"layers_{i}"]
+
+    return StackedWaveNet(
+        dilated_w=jnp.stack([layer(i)["dilated_conv"]["kernel"] for i in range(n_layers)]),
+        dilated_b=jnp.stack([layer(i)["dilated_conv"]["bias"][None] for i in range(n_layers)]),
+        diff_w=jnp.stack(
+            [layer(i)["diffusion_projection"]["Dense_0"]["kernel"] for i in range(n_layers)]
+        ),
+        diff_b=jnp.stack(
+            [layer(i)["diffusion_projection"]["Dense_0"]["bias"][None] for i in range(n_layers)]
+        ),
+        cond_w=jnp.stack(
+            [p[f"layers_{i}_conditioner_projection"]["kernel"][0] for i in range(n_layers)]
+        ),
+        cond_b=jnp.stack(
+            [p[f"layers_{i}_conditioner_projection"]["bias"][None] for i in range(n_layers)]
+        ),
+        out_w=jnp.stack([layer(i)["output_projection"]["kernel"][0] for i in range(n_layers)]),
+        out_b=jnp.stack([layer(i)["output_projection"]["bias"][None] for i in range(n_layers)]),
+        in_w=p["input_projection"]["kernel"],
+        in_b=p["input_projection"]["bias"],
+        mlp0_w=p["mlp_0"]["Dense_0"]["kernel"],
+        mlp0_b=p["mlp_0"]["Dense_0"]["bias"],
+        mlp1_w=p["mlp_1"]["Dense_0"]["kernel"],
+        mlp1_b=p["mlp_1"]["Dense_0"]["bias"],
+        skip_w=p["skip_projection"]["kernel"],
+        skip_b=p["skip_projection"]["bias"],
+        outp_w=p["output_projection"]["kernel"],
+        outp_b=p["output_projection"]["bias"],
+    )
+
+
+def fused_residual_stack(
+    x0: jax.Array,  # [T, C]
+    cond: jax.Array,  # [T, H]
+    step_emb: jax.Array,  # [1, C]
+    w: StackedWaveNet,
+    mask: jax.Array | None = None,  # [T, 1]; 0-frames behave as conv zero-pad
+) -> jax.Array:
+    """Run all residual layers in one pallas_call; returns normalised skip sum [T, C].
+
+    ``mask`` marks valid frames: masked positions are zeroed before every
+    layer's conv, which makes them semantically identical to the conv's own
+    zero padding (needed for exact halo tiling — bias/step terms would
+    otherwise make pad frames non-zero and leak into their neighbours).
+    """
+    n_layers, _, c, c2 = w.dilated_w.shape
+    t, h = cond.shape
+    if mask is None:
+        mask = jnp.ones((t, 1), jnp.float32)
+
+    def wspec(*shape):
+        # stream layer l's slice; block index over the stacked dim
+        return pl.BlockSpec(
+            (1, *shape), lambda l: (l, *([0] * len(shape))), memory_space=pltpu.VMEM
+        )
+
+    grid = (n_layers,)
+    in_specs = [
+            pl.BlockSpec((t, c), lambda l: (0, 0), memory_space=pltpu.VMEM),  # x0
+            pl.BlockSpec((t, h), lambda l: (0, 0), memory_space=pltpu.VMEM),  # cond
+            pl.BlockSpec((1, c), lambda l: (0, 0), memory_space=pltpu.VMEM),  # step
+            pl.BlockSpec((t, 1), lambda l: (0, 0), memory_space=pltpu.VMEM),  # mask
+            wspec(3, c, c2),
+            wspec(1, c2),
+            wspec(c, c),
+            wspec(1, c),
+            wspec(h, c2),
+            wspec(1, c2),
+            wspec(c, c2),
+            wspec(1, c2),
+    ]
+    out_specs = pl.BlockSpec((t, c), lambda l: (0, 0), memory_space=pltpu.VMEM)
+
+    def kernel(x0_ref, cond_ref, step_ref, mask_ref, dw_ref, db_ref, diffw_ref,
+               diffb_ref, condw_ref, condb_ref, outw_ref, outb_ref, skip_out_ref,
+               x_scr, skip_scr):
+        l = pl.program_id(0)
+
+        @pl.when(l == 0)
+        def _():
+            x_scr[:] = x0_ref[:]
+            skip_scr[:] = jnp.zeros_like(skip_scr)
+
+        x = x_scr[:]
+        dw = dw_ref[0]  # [3, C, 2C]
+        # y = x + diffusion step projection (broadcast over T)
+        step_proj = (
+            jnp.dot(step_ref[:], diffw_ref[0], preferred_element_type=jnp.float32)
+            + diffb_ref[0]
+        )  # [1, C]
+        y = (x + step_proj) * mask_ref[:]
+
+        # k=3, dilation=1 conv as three shifted matmuls
+        z = jnp.dot(y, dw[1], preferred_element_type=jnp.float32)
+        y_prev = jnp.concatenate([jnp.zeros_like(y[:1]), y[: t - 1]], axis=0)
+        y_next = jnp.concatenate([y[1:], jnp.zeros_like(y[:1])], axis=0)
+        z += jnp.dot(y_prev, dw[0], preferred_element_type=jnp.float32)
+        z += jnp.dot(y_next, dw[2], preferred_element_type=jnp.float32)
+        z += db_ref[0]
+        z += (
+            jnp.dot(cond_ref[:], condw_ref[0], preferred_element_type=jnp.float32)
+            + condb_ref[0]
+        )
+
+        gate = jax.nn.sigmoid(z[:, :c]) * jnp.tanh(z[:, c:])
+        o = (
+            jnp.dot(gate, outw_ref[0], preferred_element_type=jnp.float32)
+            + outb_ref[0]
+        )  # [T, 2C]
+        x_scr[:] = (x + o[:, :c]) * RSQRT2
+        skip_scr[:] = skip_scr[:] + o[:, c:]
+
+        @pl.when(l == n_layers - 1)
+        def _():
+            skip_out_ref[:] = skip_scr[:] * (1.0 / math.sqrt(n_layers))
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=jax.ShapeDtypeStruct((t, c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((t, c), jnp.float32),
+            pltpu.VMEM((t, c), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_layers * t * (3 * c * c2 + h * c2 + c * c2),
+            bytes_accessed=n_layers * 4 * (3 * c * c2 + h * c2 + c * c2 + c * c),
+            transcendentals=n_layers * t * c2,
+        ),
+    )(
+        x0, cond, step_emb, mask,
+        w.dilated_w, w.dilated_b, w.diff_w, w.diff_b,
+        w.cond_w, w.cond_b, w.out_w, w.out_b,
+    )
+
+
+def fused_residual_stack_tiled(
+    x0: jax.Array,  # [T, C]
+    cond: jax.Array,  # [T, H]
+    step_emb: jax.Array,  # [1, C]
+    w: StackedWaveNet,
+    tile: int = 512,
+    halo: int = 32,
+) -> jax.Array:
+    """VMEM-bounded variant: overlapping T-tiles with a halo >= n_layers.
+
+    Each layer's k=3/d=1 conv grows the receptive field by one frame, so with
+    halo >= L the tile interiors are EXACT (tile-edge zeros coincide with the
+    conv's zero padding at the true sequence ends)."""
+    n_layers = w.dilated_w.shape[0]
+    assert halo >= n_layers, f"halo {halo} must cover the receptive field {n_layers}"
+    t = x0.shape[0]
+    if t <= tile:
+        return fused_residual_stack(x0, cond, step_emb, w)
+    n_tiles = -(-t // tile)
+    t_pad = n_tiles * tile
+    x0p = jnp.pad(x0, ((halo, t_pad - t + halo), (0, 0)))
+    condp = jnp.pad(cond, ((halo, t_pad - t + halo), (0, 0)))
+    maskp = jnp.pad(jnp.ones((t, 1), jnp.float32), ((halo, t_pad - t + halo), (0, 0)))
+    starts = jnp.arange(n_tiles) * tile  # window start in padded coords
+
+    def run_tile(s):
+        xw = jax.lax.dynamic_slice_in_dim(x0p, s, tile + 2 * halo)
+        cw = jax.lax.dynamic_slice_in_dim(condp, s, tile + 2 * halo)
+        mw = jax.lax.dynamic_slice_in_dim(maskp, s, tile + 2 * halo)
+        out = fused_residual_stack(xw, cw, step_emb, w, mask=mw)
+        return out[halo : halo + tile]
+
+    tiles = jax.lax.map(run_tile, starts)  # [n_tiles, tile, C]
+    return tiles.reshape(n_tiles * tile, -1)[:t]
+
+
+def wavenet_apply_pallas(
+    w: StackedWaveNet,
+    spec: jax.Array,  # [B, T, M]
+    diffusion_step: jax.Array,  # [B]
+    cond: jax.Array,  # [B, T, H]
+) -> jax.Array:
+    """Full WaveNet forward with the fused residual stack. Mirrors
+    ``models.wavenet.WaveNet.__call__`` exactly."""
+    c = w.in_b.shape[0]
+    x = jax.nn.relu(
+        jnp.einsum("btm,mc->btc", spec, w.in_w[0], preferred_element_type=jnp.float32)
+        + w.in_b
+    )
+    step = SinusoidalPosEmb(c)(diffusion_step)  # [B, C]
+    step = mish(step @ w.mlp0_w + w.mlp0_b) @ w.mlp1_w + w.mlp1_b  # [B, C]
+
+    skip = jax.vmap(
+        lambda xb, cb, sb: fused_residual_stack_tiled(xb, cb, sb[None], w)
+    )(x, cond, step)  # [B, T, C]
+    out = jax.nn.relu(
+        jnp.einsum("btc,cd->btd", skip, w.skip_w[0], preferred_element_type=jnp.float32)
+        + w.skip_b
+    )
+    return (
+        jnp.einsum("btc,cm->btm", out, w.outp_w[0], preferred_element_type=jnp.float32)
+        + w.outp_b
+    )

@@ -69,7 +69,8 @@ class RMVPE(BasePitchExtractor):
         mel = jnp.einsum("mf,bft->bmt", self.mel_basis, spec)
         return jnp.log(jnp.clip(mel, 1e-5, None))
 
-    def infer_from_audio(self, audio: np.ndarray, sample_rate=16000, thred=0.03) -> np.ndarray:
+    def infer_from_audio(self, audio: np.ndarray, sample_rate=16000, thred=0.03,
+                         use_viterbi=False) -> np.ndarray:
         if sample_rate != SAMPLE_RATE:
             from math import gcd
 
@@ -82,6 +83,10 @@ class RMVPE(BasePitchExtractor):
         hidden = np.asarray(
             self._jitted(self.params, mel.swapaxes(1, 2))
         )[0, :n_frames]  # [T, N_CLASS]
+        if use_viterbi:
+            from prodiff_tpu.models.rmvpe import to_viterbi_f0
+
+            return to_viterbi_f0(hidden, thred=thred)
         return to_local_average_f0(hidden, thred=thred)
 
     def get_pitch(self, waveform, samplerate, length, *, hop_size,
