@@ -30,6 +30,21 @@ from prodiff_tpu.utils import ckpt_utils
 from prodiff_tpu.utils.text_encoder import TokenTextEncoder
 
 
+INFERERS = {}
+
+
+def register_inferer(cls):
+    INFERERS[cls.category] = cls
+    return cls
+
+
+def get_inferer_cls(task: str):
+    """Category-keyed inferer registry (mirrors ``component/inferer/base.py``)."""
+    if task not in INFERERS:
+        raise ValueError(f"Inferer {task} not found in {sorted(INFERERS)}")
+    return INFERERS[task]
+
+
 def _resolve_hparams(exp_name: str, task: str, checkpoints_root: str) -> dict:
     local_cfg = os.path.join(checkpoints_root, exp_name, task, "config.yaml")
     return set_hparams(
@@ -60,6 +75,7 @@ def _find_asset(hparams: dict, name: str) -> str:
     raise FileNotFoundError(f"{name} not found in work_dir or data_dir for this task")
 
 
+@register_inferer
 class DurPredictorInferer:
     category = "dur"
 
@@ -104,6 +120,7 @@ class DurPredictorInferer:
         return out.astype(np.float32)
 
 
+@register_inferer
 class PitchPredictorInferer:
     category = "pitch"
 
@@ -188,7 +205,10 @@ class PitchPredictorInferer:
         return base_pitch[:mel_len] + delta[:mel_len]
 
 
+@register_inferer
 class VariPredictorInferer:
+    category = "vari"
+
     def __init__(self, hparams: dict, feature: str):
         from prodiff_tpu.models.vari_predictor import VariPredictor
         from prodiff_tpu.tasks.base import BaseTask

@@ -81,6 +81,9 @@ class ProDiffTeacher(nn.Module):
                 time_scale=hp["timescale"],
                 schedule_type=hp["schedule_type"],
                 max_beta=hp.get("max_beta", 0.06),
+                # reference-compat: sampling starts from uniform noise
+                # (SURVEY §2.11.6); set 'gaussian' for the standard init
+                noise_init=hp.get("diff_noise_init", "uniform"),
             )
         elif self.diffusion_type == "reflow":
             self.diffusion = RectifiedFlow(

@@ -74,6 +74,11 @@ class MetricsWriter:
 class Trainer:
     def __init__(self, hparams: dict, mesh=None):
         self.hparams = hparams
+        if hparams.get("multi_host", False):
+            # multi-host SPMD over DCN: the jax-native replacement for the
+            # reference's NCCL init_process_group (SURVEY §5.8). The same
+            # compiled step then runs on every host.
+            jax.distributed.initialize()
         self.work_dir = hparams["work_dir"]
         self.seed = hparams.get("seed", 1234)
         self.mesh = mesh if mesh is not None else create_mesh()
