@@ -159,6 +159,61 @@ def bench_e2e_nsf_hifigan():
     return dt / audio_sec, {"wall_ms": round(dt * 1000, 2)}
 
 
+def bench_train_step():
+    """BASELINE config 5 flavour: teacher training throughput on one chip
+    (reference budget: max_tokens 32k frames/batch/GPU)."""
+    import optax
+
+    from __graft_entry__ import _example_inputs, _flagship
+
+    rng = np.random.default_rng(3)
+    B, T_mel, n_mels = 16, 1536, 128  # ~24.6k frames/batch
+    model, hp = _flagship(n_mels=n_mels)
+    tokens, mel2ph, f0, lang, spk, mel = _example_inputs(rng, B, 32, T_mel, n_mels)
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        tokens, mel2ph, f0, lang_seq=lang, spk_embed_id=spk, gt_spec=mel,
+    )
+    tx = optax.adamw(1e-4, b1=0.9, b2=0.98)
+    opt_state = jax.jit(tx.init)(params["params"])
+
+    def train_step(carry, rng_key):
+        params, opt_state = carry
+
+        def loss_fn(variables):
+            x0_pred, x0 = model.apply(
+                variables, tokens, mel2ph, f0, lang_seq=lang, spk_embed_id=spk,
+                gt_spec=mel, deterministic=False,
+                rngs={"diffusion": rng_key, "dropout": jax.random.fold_in(rng_key, 1)},
+            )
+            return jnp.mean(jnp.abs(x0_pred - x0))
+
+        loss, grads = jax.value_and_grad(lambda v: loss_fn(v))(params)
+        updates, opt_state = tx.update(grads["params"], opt_state, params["params"])
+        params = {"params": optax.apply_updates(params["params"], updates)}
+        return (params, opt_state), loss
+
+    def make_loop(K):
+        @jax.jit
+        def run():
+            def body(i, carry_loss):
+                carry, _ = carry_loss
+                carry, loss = train_step(carry, jax.random.fold_in(jax.random.PRNGKey(9), i))
+                return (carry, loss)
+
+            (_, loss) = jax.lax.fori_loop(0, K, body, ((params, opt_state), jnp.float32(0)))
+            return loss
+
+        return run
+
+    dt = _measure(make_loop)
+    return {
+        "train_step_ms": round(dt * 1000, 1),
+        "train_frames_per_sec": round(B * T_mel / dt, 1),
+        "train_steps_per_sec": round(1 / dt, 2),
+    }
+
+
 def main():
     """Default: the primary north-star pipeline only (compiles through the
     remote relay are slow; the full 3-pipeline sweep is behind --full).
@@ -176,6 +231,7 @@ def main():
         rtf_nsf, ex = bench_e2e_nsf_hifigan()
         extras["e2e_nsf_hifigan_rtf"] = round(rtf_nsf, 6)
         extras["nsf_wall_ms"] = ex["wall_ms"]
+        extras.update(bench_train_step())
     rtf_e2e, ex = bench_e2e_fastdiff()
     extras.update({f"e2e_{k}": v for k, v in ex.items()})
     extras["device"] = str(jax.devices()[0])

@@ -40,3 +40,19 @@ def test_denoise_reduces_noise_floor(rng):
     tone = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
     out_tone = denoise(tone, v=0.1, fft_size=1024, hop_size=256, win_size=1024)
     assert np.abs(out_tone).mean() > np.abs(tone).mean() * 0.8
+
+
+def test_mcd_properties(rng):
+    import jax.numpy as jnp
+
+    from prodiff_tpu.ops.metrics import mel_cepstral_distortion
+
+    mel = rng.normal(size=(50, 80)).astype(np.float32)
+    assert float(mel_cepstral_distortion(jnp.asarray(mel), jnp.asarray(mel))) < 1e-5
+    # constant offset only moves c0, which is excluded
+    shifted = mel + 3.0
+    assert float(mel_cepstral_distortion(jnp.asarray(mel), jnp.asarray(shifted))) < 1e-3
+    # spectral-shape distortion registers
+    noisy = mel + rng.normal(size=mel.shape).astype(np.float32)
+    d = float(mel_cepstral_distortion(jnp.asarray(mel), jnp.asarray(noisy)))
+    assert d > 1.0
