@@ -137,6 +137,8 @@ def get_energy(waveform, mel_len, hop_size, win_size, domain="db") -> np.ndarray
 def sinusoidal_smooth(curve: np.ndarray, kernel_size: int) -> np.ndarray:
     """Half-sine smoothing kernel with replicate padding
     (``SinusoidalSmoothingConv1d``, ``common_layers.py:974-988``)."""
+    if len(curve) == 0:
+        return np.asarray(curve, np.float32)
     kernel = np.sin(np.linspace(0, 1, kernel_size) * np.pi)
     kernel /= kernel.sum()
     lpad = (kernel_size - 1) // 2

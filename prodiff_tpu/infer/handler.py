@@ -267,7 +267,9 @@ class SVSInferHandler:
                 [float(x) for x in segment["note_dur"].split()],
                 [int(x) for x in segment["note_slur"].split()],
             )
-            ph_dur = self.dur_predictor.run(ph_tokens, ph_num, note_dur)
+            ph_dur = self.dur_predictor.run(
+                self.dur_predictor.encode(ph_text_seq), ph_num, note_dur
+            )
         else:
             ph_dur = np.array(segment["ph_dur"].split(), np.float32)
 

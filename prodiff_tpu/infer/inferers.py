@@ -83,12 +83,27 @@ class DurPredictorInferer:
         from prodiff_tpu.models.duration import DurPredictor
 
         self.hparams = hparams
-        self.model = DurPredictor(len(ph_encoder), hparams)
+        # the model must use the vocab it was TRAINED with (the dur task's own
+        # phone_set); fall back to the caller's encoder when unavailable.
+        # (The reference builds the dur model with the svs encoder, which only
+        # works when both tasks share one dictionary.)
+        try:
+            with open(_find_asset(hparams, "phone_set.json")) as f:
+                ph_map = json.load(f)
+            self.ph_encoder = TokenTextEncoder(
+                sorted(set(ph_map.values())), replace_oov="SP"
+            )
+        except FileNotFoundError:
+            self.ph_encoder = ph_encoder
+        self.model = DurPredictor(len(self.ph_encoder), hparams)
         self.params = _load_params(hparams["work_dir"])
 
     @classmethod
     def from_workdir(cls, exp_name, checkpoints_root, ph_encoder):
         return cls(_resolve_hparams(exp_name, "dur", checkpoints_root), ph_encoder)
+
+    def encode(self, ph_text_list: List[str]) -> np.ndarray:
+        return np.asarray(self.ph_encoder.encode(ph_text_list), np.int32)
 
     def run(self, ph_tokens: np.ndarray, ph_num: List[int], note_dur: List[float]):
         """-> per-phoneme durations in seconds, force-aligned to note durations."""
@@ -110,12 +125,22 @@ class DurPredictorInferer:
     @staticmethod
     def force_align_pdur(ph_num, ph_dur, note_dur):
         """Rescale each word's predicted phoneme durations so their sum equals
-        the note duration (``component/inferer/dur_predictor.py:26-41``)."""
+        the note duration (``component/inferer/dur_predictor.py:26-41``).
+
+        Degenerate words (all-zero predictions — the reference would emit NaN
+        then zero them, collapsing the word) fall back to a uniform split of
+        the note duration."""
+        ph_num = np.asarray(ph_num, np.int64)
         ph2word0 = np.repeat(np.arange(len(ph_num)), ph_num)  # 0-indexed
         word_sums = np.zeros(len(ph_num), np.float64)
         np.add.at(word_sums, ph2word0, ph_dur)
-        rate = word_sums / np.maximum(np.asarray(note_dur, np.float64), 1e-9)
-        out = ph_dur / np.maximum(rate[ph2word0], 1e-9)
+        note_dur = np.asarray(note_dur, np.float64)
+        degenerate = word_sums < 1e-6
+        uniform = (note_dur / np.maximum(ph_num, 1))[ph2word0]
+        rate = word_sums / np.maximum(note_dur, 1e-9)
+        out = np.where(
+            degenerate[ph2word0], uniform, ph_dur / np.maximum(rate[ph2word0], 1e-9)
+        )
         out[~np.isfinite(out)] = 0
         return out.astype(np.float32)
 

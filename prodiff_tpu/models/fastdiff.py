@@ -57,6 +57,7 @@ class ConvTranspose1dTorch(nn.Module):
             (self.kernel_size, cin, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        kernel = kernel.astype(x.dtype)
         pad = self.kernel_size - 1 - self.padding
         y = jax.lax.conv_general_dilated(
             x, kernel,
@@ -65,25 +66,26 @@ class ConvTranspose1dTorch(nn.Module):
             lhs_dilation=(self.stride,),
             dimension_numbers=("NWC", "WIO", "NWC"),
         )
-        return y + bias
+        return y + bias.astype(x.dtype)
 
 
 class DiffusionDBlock(nn.Module):
     hidden_size: int
     factor: int
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x):
         """x: [B, T, C] -> [B, T//factor, C] (nearest downsample + dilated convs)."""
         size = x.shape[1] // self.factor
         down = x[:, :: self.factor][:, :size]
-        residual = nn.Conv(self.hidden_size, (1,), name="residual_dense")(down)
+        residual = nn.Conv(self.hidden_size, (1,), dtype=self.dtype, name="residual_dense")(down)
         h = down
         for i, d in enumerate([1, 2, 4]):
             h = nn.leaky_relu(h, 0.2)
             h = nn.Conv(
                 self.hidden_size, (3,), kernel_dilation=(d,), padding="SAME",
-                name=f"conv_{i}",
+                dtype=self.dtype, name=f"conv_{i}",
             )(h)
         return h + residual
 
@@ -95,6 +97,7 @@ class KernelPredictor(nn.Module):
     conv_kernel_size: int = 3
     hidden_channels: int = 64
     conv_size: int = 3
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, c):
@@ -102,18 +105,18 @@ class KernelPredictor(nn.Module):
         k = self.conv_kernel_size
         l_w = self.conv_in_channels * self.conv_out_channels * k * self.conv_layers
         l_b = self.conv_out_channels * self.conv_layers
-        h = nn.Conv(self.hidden_channels, (5,), padding="SAME", name="input_conv")(c)
+        h = nn.Conv(self.hidden_channels, (5,), padding="SAME", dtype=self.dtype, name="input_conv")(c)
         h = nn.leaky_relu(h, LRELU)
         r = h
         for i in range(6):
             r = nn.Conv(
                 self.hidden_channels, (self.conv_size,), padding="SAME",
-                name=f"residual_conv_{i}",
+                dtype=self.dtype, name=f"residual_conv_{i}",
             )(r)
             r = nn.leaky_relu(r, LRELU)
         h = h + r
-        kernels = nn.Conv(l_w, (self.conv_size,), padding="SAME", name="kernel_conv")(h)
-        bias = nn.Conv(l_b, (self.conv_size,), padding="SAME", name="bias_conv")(h)
+        kernels = nn.Conv(l_w, (self.conv_size,), padding="SAME", dtype=self.dtype, name="kernel_conv")(h)
+        bias = nn.Conv(l_b, (self.conv_size,), padding="SAME", dtype=self.dtype, name="bias_conv")(h)
         b, L = c.shape[0], c.shape[1]
         kernels = kernels.reshape(
             b, L, self.conv_layers, self.conv_in_channels, self.conv_out_channels, k
@@ -160,6 +163,7 @@ class TimeAwareLVCBlock(nn.Module):
     kpnet_hidden_channels: int = 64
     kpnet_conv_size: int = 3
     noise_scale_embed_dim_out: int = 512
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x, audio_down, c, noise_embedding):
@@ -173,6 +177,7 @@ class TimeAwareLVCBlock(nn.Module):
             conv_kernel_size=self.conv_kernel_size,
             hidden_channels=self.kpnet_hidden_channels,
             conv_size=self.kpnet_conv_size,
+            dtype=self.dtype,
             name="kernel_predictor",
         )(condition)
         x = nn.leaky_relu(x, 0.2)
@@ -186,12 +191,14 @@ class TimeAwareLVCBlock(nn.Module):
             y = nn.leaky_relu(x, 0.2)
             y = nn.Conv(
                 self.in_channels, (self.conv_kernel_size,),
-                kernel_dilation=(3 ** i,), padding="SAME", name=f"convs_{i}",
+                kernel_dilation=(3 ** i,), padding="SAME", dtype=self.dtype,
+                name=f"convs_{i}",
             )(y)
             y = nn.leaky_relu(y, 0.2)
             y = location_variable_convolution(
-                y, kernels[:, :, i], bias[:, :, i], self.cond_hop_length
-            )
+                y.astype(kernels.dtype), kernels[:, :, i], bias[:, :, i],
+                self.cond_hop_length,
+            ).astype(x.dtype)
             gate, filt = y[..., : self.in_channels], y[..., self.in_channels :]
             x = x + jax.nn.sigmoid(gate) * jnp.tanh(filt)
         return x
@@ -209,6 +216,7 @@ class FastDiff(nn.Module):
     diffusion_step_embed_dim_in: int = 128
     diffusion_step_embed_dim_mid: int = 512
     diffusion_step_embed_dim_out: int = 512
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, audio, c, diffusion_steps):
@@ -218,7 +226,7 @@ class FastDiff(nn.Module):
         emb = swish(nn.Dense(self.diffusion_step_embed_dim_mid, name="fc_t1")(emb))
         emb = swish(nn.Dense(self.diffusion_step_embed_dim_out, name="fc_t2")(emb))
 
-        x = nn.Conv(self.inner_channels, (7,), padding="SAME", name="first_audio_conv")(audio)
+        x = nn.Conv(self.inner_channels, (7,), padding="SAME", dtype=self.dtype, name="first_audio_conv")(audio)
         n_blocks = len(self.upsample_ratios)
         downsampled = []
         for i in range(n_blocks):
@@ -226,6 +234,7 @@ class FastDiff(nn.Module):
             x = DiffusionDBlock(
                 self.inner_channels,
                 self.upsample_ratios[n_blocks - i - 1],
+                dtype=self.dtype,
                 name=f"downsample_{i}",
             )(x)
 
@@ -242,9 +251,12 @@ class FastDiff(nn.Module):
                 kpnet_hidden_channels=self.kpnet_hidden_channels,
                 kpnet_conv_size=self.kpnet_conv_size,
                 noise_scale_embed_dim_out=self.diffusion_step_embed_dim_out,
+                dtype=self.dtype,
                 name=f"lvc_blocks_{n}",
             )(x, downsampled[n_blocks - 1 - n], c, emb)
-        return nn.Conv(self.audio_channels, (7,), padding="SAME", name="final_conv")(x)
+        out = nn.Conv(self.audio_channels, (7,), padding="SAME", dtype=self.dtype,
+                      name="final_conv")(x)
+        return out.astype(jnp.float32)
 
 
 # ---- diffusion hyperparams + sampling ----------------------------------------

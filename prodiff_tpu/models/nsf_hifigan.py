@@ -40,6 +40,7 @@ class Conv1d(nn.Module):
     stride: int = 1
     dilation: int = 1
     padding: int = 0
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x):
@@ -49,6 +50,7 @@ class Conv1d(nn.Module):
             strides=(self.stride,),
             kernel_dilation=(self.dilation,),
             padding=[(self.padding, self.padding)],
+            dtype=self.dtype,
             name="conv",
         )(x)
 
@@ -67,6 +69,7 @@ class ConvTranspose1d(nn.Module):
     kernel_size: int
     stride: int
     padding: int
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x):
@@ -77,6 +80,9 @@ class ConvTranspose1d(nn.Module):
             (self.kernel_size, cin, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         pad = self.kernel_size - 1 - self.padding
         y = jax.lax.conv_general_dilated(
             x,
@@ -93,6 +99,7 @@ class ResBlock1(nn.Module):
     channels: int
     kernel_size: int = 3
     dilation: Tuple[int, ...] = (1, 3, 5)
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x):
@@ -100,12 +107,14 @@ class ResBlock1(nn.Module):
             xt = nn.leaky_relu(x, LRELU_SLOPE)
             xt = Conv1d(
                 self.channels, self.kernel_size, dilation=d,
-                padding=get_padding(self.kernel_size, d), name=f"convs1_{i}",
+                padding=get_padding(self.kernel_size, d), dtype=self.dtype,
+                name=f"convs1_{i}",
             )(xt)
             xt = nn.leaky_relu(xt, LRELU_SLOPE)
             xt = Conv1d(
                 self.channels, self.kernel_size, dilation=1,
-                padding=get_padding(self.kernel_size, 1), name=f"convs2_{i}",
+                padding=get_padding(self.kernel_size, 1), dtype=self.dtype,
+                name=f"convs2_{i}",
             )(xt)
             x = xt + x
         return x
@@ -115,6 +124,7 @@ class ResBlock2(nn.Module):
     channels: int
     kernel_size: int = 3
     dilation: Tuple[int, ...] = (1, 3)
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x):
@@ -122,7 +132,8 @@ class ResBlock2(nn.Module):
             xt = nn.leaky_relu(x, LRELU_SLOPE)
             xt = Conv1d(
                 self.channels, self.kernel_size, dilation=d,
-                padding=get_padding(self.kernel_size, d), name=f"convs_{i}",
+                padding=get_padding(self.kernel_size, d), dtype=self.dtype,
+                name=f"convs_{i}",
             )(xt)
             x = xt + x
         return x
@@ -204,9 +215,10 @@ class Generator(nn.Module):
     resblock: str = "1"
     resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
     resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    dtype: jnp.dtype = None
 
     @classmethod
-    def from_config(cls, h: dict) -> "Generator":
+    def from_config(cls, h: dict, dtype=None) -> "Generator":
         return cls(
             num_mels=h["num_mels"],
             sampling_rate=h["sampling_rate"],
@@ -216,6 +228,7 @@ class Generator(nn.Module):
             resblock=str(h["resblock"]),
             resblock_kernel_sizes=tuple(h["resblock_kernel_sizes"]),
             resblock_dilation_sizes=tuple(map(tuple, h["resblock_dilation_sizes"])),
+            dtype=dtype,
         )
 
     @property
@@ -237,32 +250,36 @@ class Generator(nn.Module):
             )(f0, self.upp)  # [B, T*upp, 1]
 
         x = Conv1d(
-            self.upsample_initial_channel, 7, padding=3, name="conv_pre"
+            self.upsample_initial_channel, 7, padding=3, dtype=self.dtype,
+            name="conv_pre",
         )(mel)
         resblock_cls = ResBlock1 if self.resblock == "1" else ResBlock2
         for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
             c_cur = self.upsample_initial_channel // (2 ** (i + 1))
             x = nn.leaky_relu(x, LRELU_SLOPE)
             x = ConvTranspose1d(
-                c_cur, k, stride=u, padding=(k - u) // 2, name=f"ups_{i}"
+                c_cur, k, stride=u, padding=(k - u) // 2, dtype=self.dtype,
+                name=f"ups_{i}",
             )(x)
             if i + 1 < len(self.upsample_rates):
                 stride_f0 = int(np.prod(self.upsample_rates[i + 1:]))
                 x_source = Conv1d(
                     c_cur, stride_f0 * 2, stride=stride_f0,
-                    padding=stride_f0 // 2, name=f"noise_convs_{i}",
+                    padding=stride_f0 // 2, dtype=self.dtype,
+                    name=f"noise_convs_{i}",
                 )(har_source)
             else:
-                x_source = Conv1d(c_cur, 1, name=f"noise_convs_{i}")(har_source)
+                x_source = Conv1d(c_cur, 1, dtype=self.dtype, name=f"noise_convs_{i}")(har_source)
             x = x + x_source
             xs = 0.0
             for j, (rk, rd) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
             ):
                 xs = xs + resblock_cls(
-                    c_cur, rk, tuple(rd), name=f"resblocks_{i * num_kernels + j}"
+                    c_cur, rk, tuple(rd), dtype=self.dtype,
+                    name=f"resblocks_{i * num_kernels + j}",
                 )(x)
             x = xs / num_kernels
         x = nn.leaky_relu(x)  # torch default slope 0.01 here (reference :284)
-        x = Conv1d(1, 7, padding=3, name="conv_post")(x)
-        return jnp.tanh(x)[..., 0]  # [B, T*upp]
+        x = Conv1d(1, 7, padding=3, dtype=self.dtype, name="conv_post")(x)
+        return jnp.tanh(x.astype(jnp.float32))[..., 0]  # [B, T*upp]

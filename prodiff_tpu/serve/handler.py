@@ -135,7 +135,7 @@ class WebHandler:
                 for ph_list in word_ph_text_list
             )
         )
-        ph_tokens = np.asarray(self.core.ph_encoder.encode(ph_text_list), np.int32)
+        ph_tokens = self.dur_predictor.encode(ph_text_list)
         ph_num = self.get_ph_num_list(lang, word_ph_text_list)
         padding_note_time = req.get("padding_note_time", 0.5)
         word_dur_list = [padding_note_time] + req["word_dur_list"]
