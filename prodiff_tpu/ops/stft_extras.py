@@ -58,4 +58,7 @@ def istft(spec: jnp.ndarray, window: jnp.ndarray, n_fft: int, hop: int,
     )
     wav = wav / jnp.maximum(wsq, 1e-11)
     start = n_fft // 2
+    avail = total - start
+    if avail < length:  # torch.istft zero-pads up to the requested length
+        wav = jnp.pad(wav, [(0, 0), (0, length - avail)])
     return jax.lax.dynamic_slice_in_dim(wav, start, length, axis=1)
