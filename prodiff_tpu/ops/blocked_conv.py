@@ -1,0 +1,87 @@
+"""Space-to-depth blocked 1-D convolution for small channel counts.
+
+Waveform nets (FastDiff: C=32) leave TPU vector lanes 75% idle — a [T, 32]
+operand occupies 32 of 128 lanes. This op repacks P consecutive time steps
+into the channel dim ([T, C] -> [T/P, P*C]) and expresses a centered k=3
+dilated conv as a few [T/P, P*C] x [P*C, P*C] block-Toeplitz matmuls that run
+at full MXU width. FLOPs increase ~(P*C/128-ish) but lane utilisation
+increases more; measured wins on v5e are recorded in the FastDiff module.
+
+The mixing matrices are built from the conv kernel inside jit via a constant
+selection tensor, so the op is differentiable and converted checkpoints work
+unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=32)
+def _selector(dilation: int, pack: int) -> Tuple[np.ndarray, Tuple[int, ...]]:
+    """Selection tensor S[q_idx, p_in, p_out, tap] for a centered k=3 conv with
+    the given dilation, packed P steps per block; returns (S, q_offsets)."""
+    taps = (-dilation, 0, dilation)
+    qs = sorted(
+        {
+            (p_out + t - p_in) // pack
+            for p_out in range(pack)
+            for p_in in range(pack)
+            for t in taps
+            if (p_out + t - p_in) % pack == 0
+        }
+    )
+    s = np.zeros((len(qs), pack, pack, 3), np.float32)
+    for qi, q in enumerate(qs):
+        for p_out in range(pack):
+            for ti, t in enumerate(taps):
+                src = p_out + t - q * pack
+                if 0 <= src < pack:
+                    s[qi, src, p_out, ti] = 1.0
+    return s, tuple(qs)
+
+
+def blocked_dilated_conv(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    dilation: int = 1,
+    pack: int = 4,
+) -> jnp.ndarray:
+    """Centered k=3 dilated conv over [B, T, Cin] (SAME zero padding), packed.
+
+    kernel: [3, Cin, Cout] (the lax 'WIO' layout). Requires T % pack == 0.
+    Equivalent to ``lax.conv_general_dilated(..., rhs_dilation=(dilation,),
+    padding='SAME')``.
+    """
+    b, t, cin = x.shape
+    _, _, cout = kernel.shape
+    assert t % pack == 0, (t, pack)
+    nb = t // pack
+    s_np, qs = _selector(dilation, pack)
+    s = jnp.asarray(s_np)
+    # mixing matrices M[qi]: [P*Cin, P*Cout]
+    m = jnp.einsum("qabt,tio->qaibo", s, kernel).reshape(
+        len(qs), pack * cin, pack * cout
+    )
+    xb = x.reshape(b, nb, pack * cin)
+    out = jnp.zeros((b, nb, pack * cout), x.dtype)
+    for qi, q in enumerate(qs):
+        if q == 0:
+            shifted = xb
+        elif q > 0:
+            shifted = jnp.pad(xb, [(0, 0), (0, q), (0, 0)])[:, q:]
+        else:
+            shifted = jnp.pad(xb, [(0, 0), (-q, 0), (0, 0)])[:, :q]
+        out = out + jnp.einsum(
+            "bni,io->bno", shifted, m[qi], preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+    out = out.reshape(b, t, cout)
+    if bias is not None:
+        out = out + bias
+    return out
