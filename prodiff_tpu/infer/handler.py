@@ -160,6 +160,12 @@ class SVSInferHandler:
         assert payload is not None, f"No checkpoint found in {self.work_dir}"
         self.params = jax.tree.map(jnp.asarray, payload["state_dict"])
         self.global_step = payload.get("global_step", 0)
+        # prodiff teachers sample `timesteps` posterior steps (default 4);
+        # reflow teachers integrate `sampling_steps` ODE steps (default 20)
+        if self.hparams.get("diff_type", "prodiff") == "reflow":
+            self.infer_step = int(self.hparams.get("sampling_steps", 20))
+        else:
+            self.infer_step = int(self.hparams.get("timesteps", 4))
 
     # ---- mixes -------------------------------------------------------------
 
@@ -342,6 +348,7 @@ class SVSInferHandler:
             spk_mix_embed, gender_mix_embed,
             pad_curve(voicing), pad_curve(breath),
             jax.random.PRNGKey(self.hparams.get("seed", 1234)),
+            infer_step=self.infer_step,
         )
         mel_out = np.asarray(mel_out)[:, :, :]
         print(f"Inference Time: {time.time() - start}")

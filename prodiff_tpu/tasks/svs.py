@@ -139,8 +139,14 @@ class SVSTask(BaseTask):
             self.loss_type_list[0], log_norm=True, name="mel",
         )
 
-    def infer_mels(self, params, batch, rng, infer_step=4):
+    def infer_mels(self, params, batch, rng, infer_step=None):
         """Host-callable sampling for validation plots."""
+        if infer_step is None:
+            infer_step = (
+                int(self.hparams.get("sampling_steps", 20))
+                if self.diffusion_type == "reflow"
+                else int(self.hparams.get("timesteps", 4))
+            )
         args, kwargs = self._model_inputs(batch)
         return self.model.apply(
             params, *args, infer=True, infer_step=infer_step,
