@@ -16,11 +16,11 @@ converts a linen WaveNet param tree. ``wavenet_apply_pallas`` mirrors the full
 XLA — they are single matmuls).
 
 Measured on TPU v5e (reference scale T=512, C=256, L=20, f32): 1.16x over the
-XLA path. For T > 512 the stack is dispatched over halo-tiled windows
-(exact — see ``fused_residual_stack_tiled``) which currently costs the gain
-(0.89x at T=1536 via ``lax.map``); XLA remains the default path, this kernel
-is opt-in. Next steps: put tiles on the pallas grid with manual halo DMA
-instead of ``lax.map``, and stream weights in bf16.
+XLA path at T<=512 (one VMEM-resident stack). For longer T the stack runs over
+halo-tiled windows on the pallas grid (tiles major, layers minor — exact, see
+``fused_residual_stack_tiled``); the 12.5% halo recompute still costs the gain
+there (0.92x at T=1536), so XLA remains the default path and this kernel is
+opt-in for short-segment serving. Remaining idea: bf16 weight streaming.
 """
 
 from __future__ import annotations
@@ -216,32 +216,112 @@ def fused_residual_stack_tiled(
     tile: int = 512,
     halo: int = 32,
 ) -> jax.Array:
-    """VMEM-bounded variant: overlapping T-tiles with a halo >= n_layers.
+    """VMEM-bounded variant: overlapping T-tiles with a halo >= n_layers,
+    walked as the MAJOR pallas grid dimension (layers minor), so the whole
+    long-T stack stays one kernel launch.
 
     Each layer's k=3/d=1 conv grows the receptive field by one frame, so with
-    halo >= L the tile interiors are EXACT (tile-edge zeros coincide with the
-    conv's zero padding at the true sequence ends)."""
-    n_layers = w.dilated_w.shape[0]
+    halo >= L the tile interiors are EXACT — masked frames behave as the
+    conv's zero padding (see ``fused_residual_stack``)."""
+    n_layers, _, c, c2 = w.dilated_w.shape
     assert halo >= n_layers, f"halo {halo} must cover the receptive field {n_layers}"
     t = x0.shape[0]
     if t <= tile:
         return fused_residual_stack(x0, cond, step_emb, w)
+    h = cond.shape[1]
     n_tiles = -(-t // tile)
     t_pad = n_tiles * tile
+    # pre-window into overlapping tiles (BlockSpecs cannot overlap)
     x0p = jnp.pad(x0, ((halo, t_pad - t + halo), (0, 0)))
     condp = jnp.pad(cond, ((halo, t_pad - t + halo), (0, 0)))
     maskp = jnp.pad(jnp.ones((t, 1), jnp.float32), ((halo, t_pad - t + halo), (0, 0)))
-    starts = jnp.arange(n_tiles) * tile  # window start in padded coords
+    wlen = tile + 2 * halo
+    idx = jnp.arange(n_tiles)[:, None] * tile + jnp.arange(wlen)[None, :]
+    xw = x0p[idx]  # [n_tiles, wlen, C]
+    cw = condp[idx]  # [n_tiles, wlen, H]
+    mw = maskp[idx]  # [n_tiles, wlen, 1]
 
-    def run_tile(s):
-        xw = jax.lax.dynamic_slice_in_dim(x0p, s, tile + 2 * halo)
-        cw = jax.lax.dynamic_slice_in_dim(condp, s, tile + 2 * halo)
-        mw = jax.lax.dynamic_slice_in_dim(maskp, s, tile + 2 * halo)
-        out = fused_residual_stack(xw, cw, step_emb, w, mask=mw)
-        return out[halo : halo + tile]
+    def wspec(*shape):
+        return pl.BlockSpec(
+            (1, *shape), lambda n, l: (l, *([0] * len(shape))),
+            memory_space=pltpu.VMEM,
+        )
 
-    tiles = jax.lax.map(run_tile, starts)  # [n_tiles, tile, C]
-    return tiles.reshape(n_tiles * tile, -1)[:t]
+    def tspec(width):
+        return pl.BlockSpec(
+            (1, wlen, width), lambda n, l: (n, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    def kernel(x0_ref, cond_ref, mask_ref, step_ref, dw_ref, db_ref, diffw_ref,
+               diffb_ref, condw_ref, condb_ref, outw_ref, outb_ref,
+               skip_out_ref, x_scr, skip_scr):
+        l = pl.program_id(1)
+
+        @pl.when(l == 0)
+        def _():
+            x_scr[:] = x0_ref[0]
+            skip_scr[:] = jnp.zeros_like(skip_scr)
+
+        x = x_scr[:]
+        dw = dw_ref[0]
+        step_proj = (
+            jnp.dot(step_ref[:], diffw_ref[0], preferred_element_type=jnp.float32)
+            + diffb_ref[0]
+        )
+        y = (x + step_proj) * mask_ref[0]
+        z = jnp.dot(y, dw[1], preferred_element_type=jnp.float32)
+        y_prev = jnp.concatenate([jnp.zeros_like(y[:1]), y[: wlen - 1]], axis=0)
+        y_next = jnp.concatenate([y[1:], jnp.zeros_like(y[:1])], axis=0)
+        z += jnp.dot(y_prev, dw[0], preferred_element_type=jnp.float32)
+        z += jnp.dot(y_next, dw[2], preferred_element_type=jnp.float32)
+        z += db_ref[0]
+        z += (
+            jnp.dot(cond_ref[0], condw_ref[0], preferred_element_type=jnp.float32)
+            + condb_ref[0]
+        )
+        gate = jax.nn.sigmoid(z[:, :c]) * jnp.tanh(z[:, c:])
+        o = (
+            jnp.dot(gate, outw_ref[0], preferred_element_type=jnp.float32)
+            + outb_ref[0]
+        )
+        x_scr[:] = (x + o[:, :c]) * RSQRT2
+        skip_scr[:] = skip_scr[:] + o[:, c:]
+
+        @pl.when(l == n_layers - 1)
+        def _():
+            skip_out_ref[0] = skip_scr[:] * (1.0 / math.sqrt(n_layers))
+
+    tiles = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_layers),
+        in_specs=[
+            tspec(c),
+            tspec(h),
+            tspec(1),
+            pl.BlockSpec((1, c), lambda n, l: (0, 0), memory_space=pltpu.VMEM),
+            wspec(3, c, c2),
+            wspec(1, c2),
+            wspec(c, c),
+            wspec(1, c),
+            wspec(h, c2),
+            wspec(1, c2),
+            wspec(c, c2),
+            wspec(1, c2),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, wlen, c), lambda n, l: (n, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, wlen, c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((wlen, c), jnp.float32),
+            pltpu.VMEM((wlen, c), jnp.float32),
+        ],
+    )(
+        xw, cw, mw, step_emb,
+        w.dilated_w, w.dilated_b, w.diff_w, w.diff_b,
+        w.cond_w, w.cond_b, w.out_w, w.out_b,
+    )
+    return tiles[:, halo : halo + tile].reshape(n_tiles * tile, c)[:t]
 
 
 def wavenet_apply_pallas(

@@ -230,3 +230,40 @@ def test_teacher_under_jit(rng):
 
     out = infer_fn(params, tokens, mel2ph, f0, lang, spk, jax.random.PRNGKey(9))
     assert out.shape == (2, 20, 16)
+
+
+def test_gender_conditioning(rng):
+    """gender_embed_id reads the gender table (reference bug §2.11.9 fixed) and
+    the mix-embedding path works."""
+    hp = dict(HP, use_gender_id=True)
+    model = ProDiffTeacher(vocab_size=12, hparams=hp)
+    tokens, mel2ph, f0, mel, lang, spk = _batch(rng)
+    gender = jnp.zeros((2,), jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)}
+    params = model.init(
+        rngs, tokens, mel2ph, f0, lang_seq=lang, spk_embed_id=spk,
+        gender_embed_id=gender, gt_spec=mel,
+    )
+    assert "gender_embed" in params["params"]
+    cond_m = model.apply(
+        params, tokens, mel2ph, f0, lang_seq=lang, spk_embed_id=spk,
+        gender_embed_id=jnp.zeros((2,), jnp.int32),
+        method=ProDiffTeacher.forward_condition,
+    )
+    cond_f = model.apply(
+        params, tokens, mel2ph, f0, lang_seq=lang, spk_embed_id=spk,
+        gender_embed_id=jnp.ones((2,), jnp.int32),
+        method=ProDiffTeacher.forward_condition,
+    )
+    assert not np.allclose(np.asarray(cond_m), np.asarray(cond_f))
+    # id path must equal the equivalent one-hot mix (proves the right table)
+    table = np.asarray(params["params"]["gender_embed"]["embedding"])
+    mix = jnp.asarray(table[1][None, None, :])
+    cond_mix = model.apply(
+        params, tokens, mel2ph, f0, lang_seq=lang, spk_embed_id=spk,
+        gender_mix_embed=mix,
+        method=ProDiffTeacher.forward_condition,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cond_f), np.asarray(cond_mix), atol=1e-6
+    )
