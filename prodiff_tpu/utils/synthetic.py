@@ -53,9 +53,15 @@ def make_svs_dataset(
     seed: int = 0,
     rectified: bool = False,
     hidden: int = 32,
+    structured: bool = False,
 ):
-    """Write phone_set/spk_map/lang_map + indexed shards + lengths sidecars."""
+    """Write phone_set/spk_map/lang_map + indexed shards + lengths sidecars.
+
+    ``structured=True`` makes mels a deterministic function of the phoneme id
+    (plus small noise), so training losses must actually decrease — used by
+    learnability tests."""
     rng = np.random.default_rng(seed)
+    ph_proto = rng.normal(size=(16, n_mels)) * 2 - 6  # per-phoneme mel prototype
     task_dir = os.path.join(data_dir, task)
     os.makedirs(task_dir, exist_ok=True)
     ph_map = {f"{p}/zh": p for p in ["SP", "AP", "a", "b", "c"]}
@@ -76,11 +82,18 @@ def make_svs_dataset(
             t_mel = int(dur.sum())
             mel2ph = np.repeat(np.arange(1, t_ph + 1), dur)
             f0 = rng.uniform(100, 500, t_mel).astype(np.float32)
+            ph_seq = rng.integers(3, 8, t_ph).astype(np.int64)
+            if structured:
+                mel_arr = ph_proto[ph_seq[mel2ph - 1]] + rng.normal(
+                    size=(t_mel, n_mels)
+                ) * 0.1
+            else:
+                mel_arr = rng.normal(size=(t_mel, n_mels)) * 2 - 6
             item = {
-                "ph_seq": rng.integers(3, 8, t_ph).astype(np.int64),
+                "ph_seq": ph_seq,
                 "mel2ph": mel2ph.astype(np.int64),
                 "f0": f0,
-                "mel": (rng.normal(size=(t_mel, n_mels)) * 2 - 6).astype(np.float32),
+                "mel": mel_arr.astype(np.float32),
                 "spk_id": int(rng.integers(0, 2)),
                 "lang_seq": np.ones(t_ph, np.int64),
             }

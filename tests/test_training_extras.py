@@ -55,3 +55,25 @@ def test_noise_init_flag(rng):
         )
         bound = model.bind(params, rngs={"diffusion": jax.random.PRNGKey(2)})
         assert bound.diffusion.noise_init == init
+
+
+@pytest.mark.slow
+def test_training_actually_learns(tmp_path):
+    """On structured data (mel = f(phoneme) + noise) the x0-prediction loss
+    must drop substantially — a real learning check, not just 'not diverging'."""
+    import json
+    import os
+
+    data_dir = str(tmp_path)
+    make_svs_dataset(data_dir, "svs", n_train=16, structured=True)
+    hp = small_hparams(data_dir, "svs", max_updates=120, val_check_interval=1000,
+                       tb_log_interval=10, lr=0.2, warmup_updates=20)
+    task = get_task_cls("svs")(hp)
+    trainer = Trainer(hp, mesh=create_mesh(4))
+    trainer.fit(task, max_steps=120)
+    with open(os.path.join(hp["work_dir"], "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    losses = [r["tr/total_loss"] for r in recs if "tr/total_loss" in r]
+    first = np.mean(losses[:2])
+    last = np.mean(losses[-2:])
+    assert last < first * 0.6, (first, last)
