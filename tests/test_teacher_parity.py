@@ -152,3 +152,72 @@ def test_q_posterior_coefficients_parity(torch_teacher):
         coefs.posterior_log_variance_clipped,
         tdiff.posterior_log_variance_clipped.numpy(), rtol=1e-5,
     )
+
+
+def test_full_sampling_loop_parity(torch_teacher, rng, monkeypatch):
+    """End-to-end 4-step sampling produces the same mel as the torch reference
+    when both consume identical noise draws — the 'bit-comparable mels'
+    criterion of BASELINE.json."""
+    from prodiff_tpu.models.prodiff import ProDiffTeacher
+    from prodiff_tpu.ops.schedules import DiffusionCoefficients
+    from prodiff_tpu.utils.teacher_convert import convert_prodiff_teacher
+
+    sd = {k: v.numpy() for k, v in torch_teacher.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, convert_prodiff_teacher(sd, HP))
+    jteacher = ProDiffTeacher(VOCAB, HP)
+
+    tokens, mel2ph, f0, lang, spk = _inputs(rng)
+    B, T_mel, M = tokens.shape[0], mel2ph.shape[1], HP["audio_num_mel_bins"]
+
+    # common noise: uniform init + one gaussian per step
+    steps = HP["timesteps"]
+    x_init = rng.uniform(0, 1, (B, 1, M, T_mel)).astype(np.float32)  # torch layout
+    noises = [rng.normal(size=(B, 1, M, T_mel)).astype(np.float32) for _ in range(steps)]
+
+    # torch side: reference sampling with injected noise
+    draws = iter([torch.from_numpy(n) for n in noises])
+    monkeypatch.setattr(
+        torch, "rand", lambda *s, **k: torch.from_numpy(x_init)
+    )
+    monkeypatch.setattr(
+        torch, "randn", lambda *s, **k: next(draws)
+    )
+    with torch.no_grad():
+        want = torch_teacher(
+            torch.from_numpy(np.asarray(tokens)),
+            torch.from_numpy(np.asarray(mel2ph)),
+            torch.from_numpy(np.asarray(f0)),
+            lang_seq=torch.from_numpy(np.asarray(lang)),
+            spk_embed_id=torch.from_numpy(np.asarray(spk)),
+            infer=True,
+        ).numpy()  # [B, T, M]
+
+    # jax side: the same posterior loop with the same noise, via the module's
+    # own denoiser and schedule coefficients
+    cond = jteacher.apply(
+        params, jnp.asarray(tokens), jnp.asarray(mel2ph), jnp.asarray(f0),
+        lang_seq=jnp.asarray(lang), spk_embed_id=jnp.asarray(spk),
+        method=ProDiffTeacher.forward_condition,
+    )
+    coefs = DiffusionCoefficients(
+        timesteps=HP["timesteps"], schedule_type=HP["schedule_type"],
+        max_beta=HP["max_beta"], min_beta=0.1,
+    )
+    x = jnp.asarray(x_init[:, 0].transpose(0, 2, 1))  # [B, T, M]
+    for i in range(steps - 1, -1, -1):
+        t = np.full((B,), i, np.int32)
+        x0_pred = jteacher.apply(
+            params, x, jnp.asarray(t), cond,
+            method=lambda m, xx, tt, cc: m.diffusion.denoise_fn(xx, tt, cc),
+        )
+        mean = (
+            coefs.posterior_mean_coef1[i] * x0_pred
+            + coefs.posterior_mean_coef2[i] * x
+        )
+        noise = jnp.asarray(noises[steps - 1 - i][:, 0].transpose(0, 2, 1))
+        nonzero = float(i != 0)
+        x = mean + nonzero * np.exp(0.5 * coefs.posterior_log_variance_clipped[i]) * noise
+
+    got = np.asarray(x)  # [B, T, M]
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
