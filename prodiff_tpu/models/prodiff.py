@@ -71,6 +71,7 @@ class ProDiffTeacher(nn.Module):
             residual_channels=hp["residual_channels"],
             dilation_cycle_length=hp["dilation_cycle_length"],
             dtype=dtype,
+            use_pallas=hp.get("use_pallas_wavenet", False),
         )
         self.diffusion_type = hp.get("diff_type", "prodiff")
         if self.diffusion_type == "prodiff":

@@ -56,7 +56,13 @@ class ResidualBlock(nn.Module):
 
 
 class WaveNet(nn.Module):
-    """x [B, T, in_dims], t [B], cond [B, T, H] -> [B, T, in_dims]."""
+    """x [B, T, in_dims], t [B], cond [B, T, H] -> [B, T, in_dims].
+
+    ``use_pallas=True`` routes inference through the fused Pallas residual
+    stack (``ops/pallas/wavenet.py``; dilation cycle 1 only; measured 1.16x at
+    T<=512 on v5e). The param tree is identical either way, so checkpoints are
+    interchangeable.
+    """
 
     in_dims: int
     hidden_size: int
@@ -64,9 +70,22 @@ class WaveNet(nn.Module):
     residual_channels: int = 256
     dilation_cycle_length: int = 1
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, spec: jnp.ndarray, diffusion_step: jnp.ndarray, cond: jnp.ndarray):
+        if (
+            self.use_pallas
+            and not self.is_initializing()
+            and self.dilation_cycle_length == 1
+        ):
+            from prodiff_tpu.ops.pallas.wavenet import (
+                stack_wavenet_params,
+                wavenet_apply_pallas,
+            )
+
+            w = stack_wavenet_params(self.variables, self.residual_layers)
+            return wavenet_apply_pallas(w, spec, diffusion_step, cond)
         c = self.residual_channels
         x = nn.Conv(
             c, kernel_size=(1,), kernel_init=he_normal, dtype=self.dtype,

@@ -80,3 +80,18 @@ def test_tiled_stack_is_exact(setup):
             fused_residual_stack_tiled(x0, c, step, w, tile=8, halo=4)
         )
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_use_pallas_flag_in_module(setup):
+    """WaveNet(use_pallas=True) routes through the fused kernel with the SAME
+    param tree (inference-only; training keeps the XLA path)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    net, params, x, t, cond = setup
+    pnet = WaveNet(in_dims=16, hidden_size=32, residual_layers=4,
+                   residual_channels=128, dilation_cycle_length=1,
+                   use_pallas=True)
+    want = np.asarray(net.apply(params, x, t, cond))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(pnet.apply(params, x, t, cond))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
