@@ -17,13 +17,12 @@ def get_pe_cls(name: str):
     from prodiff_tpu.pe import acf  # noqa: F401
 
     try:
+        # genuinely optional: wraps the external praat-parselmouth library
         from prodiff_tpu.pe import parselmouth_pe  # noqa: F401
     except ImportError:
         pass
-    try:
-        from prodiff_tpu.pe import rmvpe  # noqa: F401
-    except ImportError:
-        pass
+    # first-party: a broken module must raise, not silently vanish
+    from prodiff_tpu.pe import rmvpe  # noqa: F401
     key = name.lower()
     if key not in PITCHEXTRACTORS:
         if key in ("parselmouth", "rmvpe") and "acf" in PITCHEXTRACTORS:

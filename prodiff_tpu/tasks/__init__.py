@@ -15,15 +15,12 @@ def register_task(name: str):
 
 
 def get_task_cls(name: str):
-    # import task modules lazily so registration happens on demand
+    # import task modules lazily so registration happens on demand; a broken
+    # task module must raise, not degrade to "Unknown train task"
     from prodiff_tpu.tasks import svs  # noqa: F401
-
-    try:
-        from prodiff_tpu.tasks import dur_predictor  # noqa: F401
-        from prodiff_tpu.tasks import pitch_predictor  # noqa: F401
-        from prodiff_tpu.tasks import vari_predictor  # noqa: F401
-    except ImportError:
-        pass
+    from prodiff_tpu.tasks import dur_predictor  # noqa: F401
+    from prodiff_tpu.tasks import pitch_predictor  # noqa: F401
+    from prodiff_tpu.tasks import vari_predictor  # noqa: F401
     if name not in _TASKS:
         raise KeyError(f"Unknown train task {name!r}; known: {sorted(_TASKS)}")
     return _TASKS[name]

@@ -269,8 +269,12 @@ class Trainer:
                     if self.global_step % self.val_check_interval == 0:
                         val = self.evaluate(task)
                         writer.add_scalars(val, self.global_step, prefix="val/")
-                        self._maybe_save_best(val.get("total_loss"))
+                        improved = self._update_best(val.get("total_loss"))
                         self.save_checkpoint()
+                        if improved:
+                            ckpt_utils.save_best_copy(
+                                self.work_dir, self.global_step
+                            )
         except KeyboardInterrupt:
             log.info("| interrupted; saving checkpoint")
             self.save_checkpoint()
@@ -305,9 +309,11 @@ class Trainer:
                 plotted = True
         return {k: sums[k] / max(weights[k], 1) for k in sums}
 
-    def _maybe_save_best(self, val_loss: Optional[float]):
+    def _update_best(self, val_loss: Optional[float]) -> bool:
+        """Track the monitored-metric best; returns True when the step ckpt
+        about to be written should also be copied to model_ckpt_best.pt."""
         if val_loss is None:
-            return
+            return False
         improved = (
             val_loss < self.best_val
             if self.monitor_mode == "min"
@@ -315,5 +321,5 @@ class Trainer:
         )
         if improved and self.hparams.get("save_best", True):
             self.best_val = val_loss
-            self.save_checkpoint()
-            ckpt_utils.save_best_copy(self.work_dir, self.global_step)
+            return True
+        return False

@@ -114,3 +114,54 @@ def test_train_then_infer_cli(tmp_path, monkeypatch):
     # 2 segments: second offset at 1.2s plus its duration (0.85s)
     assert len(wav) >= int(1.2 * sr)
     assert np.isfinite(wav).all()
+
+
+@pytest.mark.slow
+def test_vocode_wav2wav_cli(tmp_path, monkeypatch):
+    """`vocode wav2wav` copy-synthesis: wav -> mel+f0 -> vocoder -> wav on
+    disk (reference ``main.py:70-101``), including the keyshift path."""
+    from main import main as cli
+    from prodiff_tpu.utils.audio import save_wav
+
+    monkeypatch.chdir(tmp_path)
+    voc_path = _make_torch_vocoder_ckpt(str(tmp_path / "nsf_hifigan"))
+
+    sr = 44100
+    t = np.arange(sr) / sr
+    wav = (0.3 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    wav_fn = str(tmp_path / "in.wav")
+    save_wav(wav, wav_fn, sr)
+
+    cfg = {
+        "audio_sample_rate": sr,
+        "audio_num_mel_bins": VOCODER_H["num_mels"],
+        "fft_size": VOCODER_H["n_fft"],
+        "win_size": VOCODER_H["win_size"],
+        "hop_size": VOCODER_H["hop_size"],
+        "fmin": VOCODER_H["fmin"],
+        "fmax": VOCODER_H["fmax"],
+        "vocoder": "nsfhifigan",
+        "vocoder_ckpt": voc_path,
+        "pitch_extractor": "parselmouth",  # exercises the ACF fallback
+        "interp_uv": True,
+    }
+    cfg_fn = str(tmp_path / "voc_config.yaml")
+    with open(cfg_fn, "w") as f:
+        yaml.dump(cfg, f)
+
+    out_dir = str(tmp_path / "out")
+    runner = CliRunner()
+    res = runner.invoke(
+        cli,
+        ["vocode", "wav2wav", wav_fn, "--config", cfg_fn,
+         "--keyshift", "2", "--output_dir", out_dir],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    out_fn = os.path.join(out_dir, "in.wav")
+    assert os.path.exists(out_fn)
+    from prodiff_tpu.utils.audio import load_wav
+
+    out_wav, out_sr = load_wav(out_fn, sr=sr)
+    assert out_sr == sr
+    assert len(out_wav) > sr // 2 and np.isfinite(out_wav).all()

@@ -112,3 +112,48 @@ def test_resample_align_curve():
     # arange excludes t_max, so 20 interpolated points then constant fill
     np.testing.assert_allclose(out[:20], np.arange(20) * 0.05, atol=1e-6)
     assert np.all(out[20:] == out[19])
+
+
+def test_indexed_dataset_cross_compat_with_reference(tmp_path):
+    """Byte-format compatibility proven both directions against the reference
+    implementation (``/root/reference/utils/indexed_datasets.py:7-94``)."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_indexed_datasets", "/root/reference/utils/indexed_datasets.py"
+    )
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    rng = np.random.default_rng(7)
+    items = [
+        {"mel": rng.normal(size=(8 + i, 4)).astype(np.float32), "name": f"it{i}"}
+        for i in range(25)
+    ]
+
+    # reference writer -> our reader (multi-shard)
+    ref_dir = tmp_path / "ref_written"
+    ref_dir.mkdir()
+    b = ref.IndexedDatasetBuilder(str(ref_dir), "train", segment_size=10)
+    for it in items:
+        b.add_item(it)
+    b.finalize()
+    ds = IndexedDataset(str(ref_dir), "train", segment_size=10)
+    assert len(ds) == 25
+    for i in [0, 9, 10, 24]:
+        np.testing.assert_array_equal(ds[i]["mel"], items[i]["mel"])
+        assert ds[i]["name"] == items[i]["name"]
+
+    # our writer -> reference reader
+    our_dir = tmp_path / "our_written"
+    our_dir.mkdir()
+    b2 = IndexedDatasetBuilder(str(our_dir), "train", segment_size=10)
+    for it in items:
+        b2.add_item(it)
+    b2.finalize()
+    ref_ds = ref.IndexedDataset(str(our_dir), "train", segment_size=10)
+    assert ref_ds.total_size == 25
+    for i in [0, 9, 10, 24]:
+        np.testing.assert_array_equal(ref_ds[i]["mel"], items[i]["mel"])
+        assert ref_ds[i]["name"] == items[i]["name"]

@@ -86,3 +86,47 @@ def test_keyshift_path_compiles(rng):
     out = np.asarray(extractor.get_mel(jnp.asarray(y), keyshift=2))
     assert out.shape[1] == 128
     assert np.isfinite(out).all()
+
+
+def test_mel_scale_anchor_points():
+    """Exact anchors of the Slaney mel scale used by librosa.filters.mel
+    (the reference's filterbank source, ``modules/nsf_hifigan/nvSTFT.py:60-64``):
+    linear at 200/3 Hz-per-mel below 1 kHz, then log with step ln(6.4)/27, so
+    mel(1000)=15 and mel(6400)=15+27=42 exactly. HTK anchor: mel(700)=2595*log10(2).
+    """
+    from prodiff_tpu.ops.mel import hz_to_mel, mel_to_hz
+
+    np.testing.assert_allclose(hz_to_mel(1000.0), 15.0, rtol=1e-12)
+    np.testing.assert_allclose(hz_to_mel(6400.0), 42.0, rtol=1e-12)
+    np.testing.assert_allclose(hz_to_mel(500.0), 7.5, rtol=1e-12)
+    np.testing.assert_allclose(mel_to_hz(15.0), 1000.0, rtol=1e-12)
+    np.testing.assert_allclose(mel_to_hz(42.0), 6400.0, rtol=1e-12)
+    np.testing.assert_allclose(hz_to_mel(700.0, htk=True), 2595.0 * np.log10(2.0), rtol=1e-12)
+    np.testing.assert_allclose(mel_to_hz(2595.0 * np.log10(2.0), htk=True), 700.0, rtol=1e-12)
+
+
+def test_mel_filterbank_matches_independent_slaney_construction():
+    """Cross-check the vectorized ramps filterbank against a from-first-
+    principles per-filter triangle construction (the textbook Slaney form
+    librosa implements): filter m rises linearly from mel_f[m] to mel_f[m+1]
+    and falls to mel_f[m+2] over FFT-bin frequencies, then is area-normalized
+    by 2/(mel_f[m+2]-mel_f[m])."""
+    from prodiff_tpu.ops.mel import hz_to_mel, mel_to_hz, mel_filterbank
+
+    sr, n_fft, n_mels, fmin, fmax = 44100, 2048, 128, 40.0, 16000.0
+    fb = mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
+
+    fftfreqs = np.arange(n_fft // 2 + 1) * (sr / n_fft)
+    mel_pts = mel_to_hz(np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2))
+    expect = np.zeros((n_mels, n_fft // 2 + 1))
+    for m in range(n_mels):
+        lo, ctr, hi = mel_pts[m], mel_pts[m + 1], mel_pts[m + 2]
+        for k, f in enumerate(fftfreqs):
+            if lo < f < ctr:
+                expect[m, k] = (f - lo) / (ctr - lo)
+            elif f == ctr:
+                expect[m, k] = 1.0
+            elif ctr < f < hi:
+                expect[m, k] = (hi - f) / (hi - ctr)
+        expect[m] *= 2.0 / (hi - lo)
+    np.testing.assert_allclose(fb, expect, atol=1e-7)
