@@ -120,12 +120,18 @@ class GaussianDiffusion(nn.Module):
         src_spec: Optional[jnp.ndarray] = None,
         infer: bool = False,
         infer_step: int = 4,
+        init_noise: Optional[jnp.ndarray] = None,
+        step_noises: Optional[jnp.ndarray] = None,
     ):
         """cond: [B, T, H].
 
         Train: gt_spec [B, F, T, M] (or [B, F, T] in multivari mode) ->
         (x0_pred, x0), both [B, F, T, M].
         Infer: sampled spec, [B, F, T, M] denormalised (or [B, F, T]).
+        ``init_noise`` [B, F, T, M] / ``step_noises`` [infer_step, B, F, T, M]
+        inject the sampling randomness explicitly (deterministic sampling and
+        golden parity vs the torch reference); both default to fresh draws
+        from the ``diffusion`` rng stream.
         """
         b, t_mel = cond.shape[0], cond.shape[1]
         if not infer:
@@ -140,9 +146,11 @@ class GaussianDiffusion(nn.Module):
 
         infer_step = max(1, min(int(infer_step), self.timesteps))
         shape = (b, self.num_features, t_mel, self.out_dims)
-        rng = self.make_rng("diffusion")
-        rng_init, rng_noise = jax.random.split(rng)
-        if self.noise_init == "uniform":
+        if init_noise is None or step_noises is None:
+            rng_init, rng_noise = jax.random.split(self.make_rng("diffusion"))
+        if init_noise is not None:
+            x = init_noise
+        elif self.noise_init == "uniform":
             x = jax.random.uniform(rng_init, shape)
         else:
             x = jax.random.normal(rng_init, shape)
@@ -153,7 +161,11 @@ class GaussianDiffusion(nn.Module):
             x = self._denoise(x, t0, cond)
             return self.denorm_spec(x)
 
-        noises = jax.random.normal(rng_noise, (infer_step, *shape))
+        noises = (
+            step_noises
+            if step_noises is not None
+            else jax.random.normal(rng_noise, (infer_step, *shape))
+        )
         ts = jnp.arange(infer_step - 1, -1, -1, dtype=jnp.int32)
 
         def body(x, step):

@@ -15,7 +15,7 @@ MXU. Layout is [B, T, C] throughout.
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -325,14 +325,25 @@ def sampling_given_noise_schedule(
     alpha_infer: np.ndarray,
     sigma_infer: np.ndarray,
     steps_infer: np.ndarray,
+    init_noise: Optional[jnp.ndarray] = None,
+    step_noises: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Reverse epsilon-prediction diffusion as a lax.scan
-    (``util.py:158-234``). cond: [B, L, C] -> wav [B, audio_length]."""
+    (``util.py:158-234``). cond: [B, L, C] -> wav [B, audio_length].
+    ``init_noise`` [B, L_audio, 1] / ``step_noises`` [n, B, L_audio, 1] inject
+    the randomness explicitly (deterministic output / golden parity); the
+    last step's noise entry is masked out exactly like the reference's n==0
+    branch."""
     b = cond.shape[0]
     n = len(steps_infer)
-    rng_init, rng_loop = jax.random.split(rng)
-    x = jax.random.normal(rng_init, (b, audio_length, 1))
-    noises = jax.random.normal(rng_loop, (n, b, audio_length, 1))
+    if init_noise is None or step_noises is None:
+        rng_init, rng_loop = jax.random.split(rng)
+    x = init_noise if init_noise is not None else jax.random.normal(
+        rng_init, (b, audio_length, 1)
+    )
+    noises = step_noises if step_noises is not None else jax.random.normal(
+        rng_loop, (n, b, audio_length, 1)
+    )
 
     consts = (
         jnp.asarray(beta_infer, jnp.float32),

@@ -164,6 +164,8 @@ class ProDiffTeacher(nn.Module):
         infer: bool = False,
         infer_step: int = 4,
         deterministic: bool = True,
+        init_noise: Optional[jnp.ndarray] = None,
+        step_noises: Optional[jnp.ndarray] = None,
     ):
         condition = self.forward_condition(
             txt_tokens,
@@ -181,5 +183,14 @@ class ProDiffTeacher(nn.Module):
         if not infer:
             x_0 = gt_spec[:, None, :, :]  # [B, 1, T, M]
             return self.diffusion(condition, gt_spec=x_0, infer=False)
-        mel = self.diffusion(condition, infer=True, infer_step=infer_step)
+        if self.diffusion_type == "prodiff":
+            mel = self.diffusion(
+                condition, infer=True, infer_step=infer_step,
+                init_noise=init_noise, step_noises=step_noises,
+            )
+        else:  # reflow ODE integration only consumes the start point
+            mel = self.diffusion(
+                condition, infer=True, infer_step=infer_step,
+                init_noise=init_noise,
+            )
         return mel[:, 0]  # [B, T, M]

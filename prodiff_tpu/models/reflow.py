@@ -72,8 +72,11 @@ class RectifiedFlow(nn.Module):
         gt_spec: Optional[jnp.ndarray] = None,
         infer: bool = False,
         infer_step: int = 20,
+        init_noise: Optional[jnp.ndarray] = None,
     ):
-        """Train: -> (v_pred, v_gt, t). Infer: -> denormalised sample."""
+        """Train: -> (v_pred, v_gt, t). Infer: -> denormalised sample.
+        ``init_noise`` [B, F, T, M] injects the ODE start point explicitly
+        (deterministic sampling / golden parity); defaults to a fresh draw."""
         b, t_mel = cond.shape[0], cond.shape[1]
         if not infer:
             x_end = self.norm_spec(gt_spec)  # [B, F, T, M]
@@ -87,7 +90,10 @@ class RectifiedFlow(nn.Module):
 
         shape = (b, self.num_features, t_mel, self.out_dims
                  if self.repeat_bins is None else self.repeat_bins)
-        x = jax.random.normal(self.make_rng("diffusion"), shape)
+        if init_noise is not None:
+            x = init_noise
+        else:
+            x = jax.random.normal(self.make_rng("diffusion"), shape)
         if self.is_initializing():
             x = self._velocity(x, jnp.zeros((b,)), cond)
             return self.denorm_spec(x)

@@ -108,10 +108,15 @@ def convert_prodiff_teacher(sd: Dict[str, np.ndarray], hparams: dict) -> Dict[st
         p["voicing_embed"] = _linear(sd, "voicing_embed")
     if hparams.get("use_breath_embed", False):
         p["breath_embed"] = _linear(sd, "breath_embed")
+    # the torch reference names the net denoise_fn (prodiff) or velocity_fn
+    # (reflow, ``modules/diffusion/reflow.py:13``); flax always: denoise_fn
+    net = (
+        "diffusion.denoise_fn"
+        if "diffusion.denoise_fn.input_projection.weight" in sd
+        else "diffusion.velocity_fn"
+    )
     p["diffusion"] = {
-        "denoise_fn": convert_wavenet(
-            sd, "diffusion.denoise_fn", hparams["residual_layers"]
-        )
+        "denoise_fn": convert_wavenet(sd, net, hparams["residual_layers"])
     }
     return {"params": p}
 

@@ -221,3 +221,120 @@ def test_full_sampling_loop_parity(torch_teacher, rng, monkeypatch):
     got = np.asarray(x)  # [B, T, M]
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_module_scan_sampling_parity(torch_teacher, rng, monkeypatch):
+    """Drive the ACTUAL inference path — ProDiffTeacher.__call__(infer=True),
+    whose GaussianDiffusion runs its own jitted lax.scan — against the torch
+    reference with identical injected noise. Unlike the hand-rewritten loop
+    above, a bug in the scan's noise ordering or init branch fails here."""
+    from prodiff_tpu.models.prodiff import ProDiffTeacher
+    from prodiff_tpu.utils.teacher_convert import convert_prodiff_teacher
+
+    sd = {k: v.numpy() for k, v in torch_teacher.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, convert_prodiff_teacher(sd, HP))
+    jteacher = ProDiffTeacher(VOCAB, HP)
+
+    tokens, mel2ph, f0, lang, spk = _inputs(rng)
+    B, T_mel, M = tokens.shape[0], mel2ph.shape[1], HP["audio_num_mel_bins"]
+    steps = HP["timesteps"]
+    x_init = rng.uniform(0, 1, (B, 1, M, T_mel)).astype(np.float32)
+    noises = [rng.normal(size=(B, 1, M, T_mel)).astype(np.float32)
+              for _ in range(steps)]
+
+    draws = iter([torch.from_numpy(n) for n in noises])
+    monkeypatch.setattr(torch, "rand", lambda *s, **k: torch.from_numpy(x_init))
+    monkeypatch.setattr(torch, "randn", lambda *s, **k: next(draws))
+    with torch.no_grad():
+        want = torch_teacher(
+            torch.from_numpy(np.asarray(tokens)),
+            torch.from_numpy(np.asarray(mel2ph)),
+            torch.from_numpy(np.asarray(f0)),
+            lang_seq=torch.from_numpy(np.asarray(lang)),
+            spk_embed_id=torch.from_numpy(np.asarray(spk)),
+            infer=True,
+        ).numpy()  # [B, T, M]
+
+    # [B, 1, M, T] torch layout -> [B, 1, T, M]
+    init_j = jnp.asarray(x_init.transpose(0, 1, 3, 2))
+    steps_j = jnp.asarray(
+        np.stack([n.transpose(0, 1, 3, 2) for n in noises], axis=0)
+    )
+
+    @jax.jit
+    def run(params, tokens, mel2ph, f0, lang, spk, init_noise, step_noises):
+        return jteacher.apply(
+            params, tokens, mel2ph, f0, lang_seq=lang, spk_embed_id=spk,
+            infer=True, infer_step=steps,
+            init_noise=init_noise, step_noises=step_noises,
+        )
+
+    got = np.asarray(run(
+        params, jnp.asarray(tokens), jnp.asarray(mel2ph), jnp.asarray(f0),
+        jnp.asarray(lang), jnp.asarray(spk), init_j, steps_j,
+    ))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("alg", ["euler", "rk2", "rk4", "rk5"])
+def test_reflow_ode_sampling_parity(rng, alg):
+    """The RectifiedFlow module's own scanned ODE steppers vs the reference's
+    sample_euler/rk2/rk4/rk5 (``modules/diffusion/reflow.py:48-101``) with the
+    same injected start noise, through the full teacher infer path."""
+    import importlib
+
+    from prodiff_tpu.models.prodiff import ProDiffTeacher
+    from prodiff_tpu.utils.teacher_convert import convert_prodiff_teacher
+
+    hp = dict(HP)
+    hp.update(diff_type="reflow", sampling_algorithm=alg, timescale=1000,
+              infer_step=4)
+    sys.path.insert(0, "/root/reference")
+    sys.modules.setdefault("chardet", types.ModuleType("chardet"))
+    mod = importlib.import_module("modules.svs.prodiff_teacher")
+    torch.manual_seed(1)
+    tt = mod.ProDiffTeacher(VOCAB, hp)
+    tt.eval()
+
+    sd = {k: v.numpy() for k, v in tt.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, convert_prodiff_teacher(sd, hp))
+    jteacher = ProDiffTeacher(VOCAB, hp)
+
+    tokens, mel2ph, f0, lang, spk = _inputs(rng)
+    B, T_mel, M = tokens.shape[0], mel2ph.shape[1], hp["audio_num_mel_bins"]
+    x_init = rng.normal(size=(B, 1, M, T_mel)).astype(np.float32)
+
+    # the reference teacher never plumbs infer_step; reflow defaults to 20
+    # ODE steps (``modules/diffusion/reflow.py:32``). NB: the reference's
+    # steppers mutate x in place (``x += v*dt``), so the injected tensor must
+    # NOT share memory with the numpy array the jax side reads.
+    real_randn = torch.randn
+    torch.randn = lambda *s, **k: torch.from_numpy(x_init.copy())
+    try:
+        with torch.no_grad():
+            want = tt(
+                torch.from_numpy(np.asarray(tokens)),
+                torch.from_numpy(np.asarray(mel2ph)),
+                torch.from_numpy(np.asarray(f0)),
+                lang_seq=torch.from_numpy(np.asarray(lang)),
+                spk_embed_id=torch.from_numpy(np.asarray(spk)),
+                infer=True,
+            ).numpy()
+    finally:
+        torch.randn = real_randn
+
+    @jax.jit
+    def run(params, tokens, mel2ph, f0, lang, spk, init_noise):
+        return jteacher.apply(
+            params, tokens, mel2ph, f0, lang_seq=lang, spk_embed_id=spk,
+            infer=True, infer_step=20, init_noise=init_noise,
+        )
+
+    got = np.asarray(run(
+        params, jnp.asarray(tokens), jnp.asarray(mel2ph), jnp.asarray(f0),
+        jnp.asarray(lang), jnp.asarray(spk),
+        jnp.asarray(x_init.transpose(0, 1, 3, 2)),
+    ))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
