@@ -17,6 +17,7 @@ from __future__ import annotations
 import functools
 from typing import Tuple
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -85,3 +86,37 @@ def blocked_dilated_conv(
     if bias is not None:
         out = out + bias
     return out
+
+
+class BlockedConv(nn.Module):
+    """Drop-in replacement for ``nn.Conv(features, (3,), kernel_dilation=(d,),
+    padding='SAME')`` that runs the blocked (space-to-depth) formulation when
+    the (static) sequence length divides ``pack``, else falls back to the lax
+    conv. Parameter names and shapes are identical to ``nn.Conv``, so
+    converted checkpoints load unchanged."""
+
+    features: int
+    dilation: int = 1
+    pack: int = 4
+    dtype: jnp.dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, cin, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+        bias = bias.astype(dtype)
+        if x.shape[1] % self.pack == 0:
+            return blocked_dilated_conv(
+                x, kernel, bias=bias, dilation=self.dilation, pack=self.pack
+            )
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1,), "SAME", rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return y + bias
