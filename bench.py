@@ -37,10 +37,11 @@ except Exception:
 K_ITERS = 16
 
 
-def _measure(make_loop):
+def _measure(make_loop, want_flops=False):
     """make_loop(K) -> zero-arg jitted fn returning a scalar. One compiled
     program, K chained iterations, scalar readback (large transfers are slow
-    through the relay); best of 3 runs."""
+    through the relay); best of 3 runs. With want_flops, also returns the
+    XLA-reported FLOPs per iteration (cost analysis of the K-loop / K)."""
     fn = make_loop(K_ITERS)
     float(np.asarray(fn()))  # compile
     best = float("inf")
@@ -48,7 +49,30 @@ def _measure(make_loop):
         t0 = time.time()
         float(np.asarray(fn()))
         best = min(best, time.time() - t0)
-    return max(best / K_ITERS, 1e-9)
+    dt = max(best / K_ITERS, 1e-9)
+    if not want_flops:
+        return dt
+    flops = None
+    try:
+        cost = fn.lower().compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost["flops"]) / K_ITERS
+    except Exception:
+        pass
+    return dt, flops
+
+
+# bf16 MXU peak per chip, used as the MFU denominator
+_PEAK_TFLOPS = {"TPU v5 lite": 197.0, "TPU v4": 275.0, "TPU v6 lite": 918.0}
+
+
+def _peak_tflops():
+    name = str(jax.devices()[0].device_kind)
+    for k, v in _PEAK_TFLOPS.items():
+        if k.lower() in name.lower() or name.lower() in k.lower():
+            return v
+    return None
 
 
 def _chain(compute, rng0):
@@ -93,9 +117,16 @@ def bench_acoustic_4step():
     rng = np.random.default_rng(0)
     B, T_mel = 1, 512
     acoustic, _ = _teacher(128, rng, B, 16, T_mel, 4)
-    dt = _measure(_chain(acoustic, jax.random.PRNGKey(2)))
+    dt, flops = _measure(_chain(acoustic, jax.random.PRNGKey(2)), want_flops=True)
     audio_sec = B * T_mel * 512 / 44100
-    return dt / audio_sec, {"mel_frames_per_sec": round(B * T_mel / dt, 1)}
+    ex = {"mel_frames_per_sec": round(B * T_mel / dt, 1)}
+    peak = _peak_tflops()
+    if flops:
+        tf = flops / dt / 1e12
+        ex["denoiser_tflops"] = round(tf, 3)
+        if peak:
+            ex["denoiser_mfu"] = round(tf / peak, 4)
+    return dt / audio_sec, ex
 
 
 def bench_e2e_fastdiff():
@@ -206,12 +237,19 @@ def bench_train_step():
 
         return run
 
-    dt = _measure(make_loop)
-    return {
+    dt, flops = _measure(make_loop, want_flops=True)
+    ex = {
         "train_step_ms": round(dt * 1000, 1),
         "train_frames_per_sec": round(B * T_mel / dt, 1),
         "train_steps_per_sec": round(1 / dt, 2),
     }
+    peak = _peak_tflops()
+    if flops:
+        tf = flops / dt / 1e12
+        ex["train_tflops"] = round(tf, 3)
+        if peak:
+            ex["train_mfu"] = round(tf / peak, 4)
+    return ex
 
 
 def main():
