@@ -79,7 +79,14 @@ class SVSInferHandler:
         isolate_aspiration: bool = False,
         isolate_base_harmonic: bool = False,
         out_dir: str = "infer_out",
+        deterministic: bool = False,
     ):
+        # deterministic=True renders reproducibly: zero diffusion init/step
+        # noise and a zero-phase/noise-free vocoder sine source. Also the
+        # configuration under which the torch reference pipeline
+        # (``handler/infer/handler.py:203-359`` with patched randomness) must
+        # produce the same audio — see tests/test_mcd_pipeline.py.
+        self.deterministic = deterministic
         self.hparams = set_hparams(
             exp_name=exp_name, task="svs", make_work_dir=False,
             checkpoints_root=checkpoints_root,
@@ -202,10 +209,20 @@ class SVSInferHandler:
 
         @functools.partial(
             jax.jit,
-            static_argnames=("infer_step",),
+            static_argnames=("infer_step", "deterministic"),
         )
         def run(params, ph_seq, mel2ph, f0, lang_seq, spk_mix_embed,
-                gender_mix_embed, voicing, breath, rng, infer_step=4):
+                gender_mix_embed, voicing, breath, rng, infer_step=4,
+                deterministic=False):
+            init_noise = step_noises = None
+            if deterministic:
+                b, t_mel = mel2ph.shape
+                m = hp["audio_num_mel_bins"]
+                init_noise = jnp.zeros((b, 1, t_mel, m), jnp.float32)
+                if hp.get("diff_type", "prodiff") != "reflow":
+                    step_noises = jnp.zeros(
+                        (infer_step, b, 1, t_mel, m), jnp.float32
+                    )
             return self.model.apply(
                 params, ph_seq, mel2ph, f0,
                 lang_seq=lang_seq,
@@ -213,6 +230,7 @@ class SVSInferHandler:
                 gender_mix_embed=gender_mix_embed,
                 voicing=voicing, breath=breath,
                 infer=True, infer_step=infer_step,
+                init_noise=init_noise, step_noises=step_noises,
                 rngs={"diffusion": rng},
             )
 
@@ -349,6 +367,7 @@ class SVSInferHandler:
             pad_curve(voicing), pad_curve(breath),
             jax.random.PRNGKey(self.hparams.get("seed", 1234)),
             infer_step=self.infer_step,
+            deterministic=self.deterministic,
         )
         mel_out = np.asarray(mel_out)[:, :, :]
         print(f"Inference Time: {time.time() - start}")
@@ -356,8 +375,9 @@ class SVSInferHandler:
         # vocode on the padded grid (pad with silence floor), trim after
         mel_voc = np.full((1, t_mel_pad, mel_out.shape[-1]), MEL_PAD_LOG10, np.float32)
         mel_voc[0, :mel_len] = mel_out[0, :mel_len]
+        voc_kwargs = {"deterministic": True} if self.deterministic else {}
         wav = np.asarray(
-            self.vocoder.spec2wav_batch(mel_voc, f0_p)
+            self.vocoder.spec2wav_batch(mel_voc, f0_p, **voc_kwargs)
         )[0, : mel_len * self.hop_size]
 
         if self.isolate_aspiration:

@@ -144,7 +144,7 @@ def sine_gen(
     upp: int,
     sampling_rate: int,
     harmonic_num: int,
-    rng: jax.Array,
+    rng: Optional[jax.Array],
     sine_amp: float = 0.1,
     noise_std: float = 0.003,
     voiced_threshold: float = 0.0,
@@ -154,16 +154,22 @@ def sine_gen(
     Equivalent to the reference ``SineGen`` (``models.py:103-189``): random
     initial phase per overtone (fundamental fixed at 0), per-frame phase
     increments repeated per sample, uv gating with noise floor.
+
+    ``rng=None`` renders deterministically: zero initial overtone phases and
+    zero additive noise (reproducible synthesis; also the configuration the
+    torch reference collapses to with patched randomness, which the
+    whole-pipeline MCD cross-check relies on).
     """
     b, t_frames = f0.shape
     dim = harmonic_num + 1
-    rng_ini, rng_noise = jax.random.split(rng)
 
     harmonics = jnp.arange(1, dim + 1, dtype=jnp.float32)[None, None, :]
     rad = jnp.mod(f0[:, :, None] * harmonics / sampling_rate, 1.0)  # [B, T_f, D]
-    rand_ini = jax.random.uniform(rng_ini, (1, dim))
-    rand_ini = rand_ini.at[:, 0].set(0.0)
-    rad = rad.at[:, 0, :].add(rand_ini)
+    if rng is not None:
+        rng_ini, rng_noise = jax.random.split(rng)
+        rand_ini = jax.random.uniform(rng_ini, (1, dim))
+        rand_ini = rand_ini.at[:, 0].set(0.0)
+        rad = rad.at[:, 0, :].add(rand_ini)
 
     # frame-start phases mod 1, exact in f32 thanks to the bounded carry
     frame_inc = jnp.mod(rad * upp, 1.0)  # [B, T_f, D]
@@ -181,6 +187,8 @@ def sine_gen(
 
     uv = (f0 > voiced_threshold).astype(jnp.float32)[:, :, None]  # [B, T_f, 1]
     uv = jnp.repeat(uv, upp, axis=1)  # nearest upsample
+    if rng is None:
+        return sines * sine_amp * uv
     noise_amp = uv * noise_std + (1 - uv) * sine_amp / 3
     noise = noise_amp * jax.random.normal(rng_noise, sines.shape)
     return sines * sine_amp * uv + noise
@@ -194,8 +202,10 @@ class SourceModuleHnNSF(nn.Module):
     voiced_threshold: float = 0.0
 
     @nn.compact
-    def __call__(self, f0: jnp.ndarray, upp: int) -> jnp.ndarray:
-        rng = self.make_rng("noise")
+    def __call__(
+        self, f0: jnp.ndarray, upp: int, deterministic: bool = False
+    ) -> jnp.ndarray:
+        rng = None if deterministic else self.make_rng("noise")
         sines = sine_gen(
             f0, upp, self.sampling_rate, self.harmonic_num, rng,
             self.sine_amp, self.add_noise_std, self.voiced_threshold,
@@ -241,13 +251,14 @@ class Generator(nn.Module):
         mel: jnp.ndarray,
         f0: Optional[jnp.ndarray] = None,
         har_source: Optional[jnp.ndarray] = None,
+        deterministic: bool = False,
     ) -> jnp.ndarray:
         """mel: [B, T, M] (natural-log scale); f0: [B, T] Hz -> wav [B, T*upp]."""
         num_kernels = len(self.resblock_kernel_sizes)
         if har_source is None:
             har_source = SourceModuleHnNSF(
                 self.sampling_rate, harmonic_num=8, name="m_source"
-            )(f0, self.upp)  # [B, T*upp, 1]
+            )(f0, self.upp, deterministic=deterministic)  # [B, T*upp, 1]
 
         x = Conv1d(
             self.upsample_initial_channel, 7, padding=3, dtype=self.dtype,

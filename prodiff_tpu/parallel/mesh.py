@@ -38,13 +38,27 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis_name: str = "data"):
 
     Every array's leading dim must be divisible by the mesh size — the batch
     padding buckets guarantee that.
+
+    Single-process: a plain ``device_put`` with the batch sharding. Multi-host
+    (``jax.distributed.initialize()`` ran, so the mesh spans devices this
+    process cannot address): every process holds the same host-global batch
+    (the iterators are seeded identically on every host), and
+    ``jax.make_array_from_callback`` materialises only the rows belonging to
+    this process's addressable devices. This is the SPMD analogue of the
+    reference's per-rank batch slicing ``batches[rank::world]``
+    (``component/train_task/base_task.py:123-126``) — there each rank loads
+    its own sub-batch for NCCL DDP; here each host contributes its shard of
+    one global array and the gradient allreduce is XLA's psum over ICI/DCN.
     """
     sharding = batch_sharding(mesh, axis_name)
+    multiprocess = jax.process_count() > 1
 
     def _put(x):
-        if isinstance(x, np.ndarray):
+        if not isinstance(x, np.ndarray):
+            return x
+        if not multiprocess:
             return jax.device_put(x, sharding)
-        return x
+        return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
 
     return jax.tree.map(_put, batch)
 

@@ -64,16 +64,27 @@ class NsfHifiGAN(BaseVocoder):
 
     @functools.cached_property
     def _jitted(self):
-        @jax.jit
-        def run(params, mel_ln, f0, rng):
-            return self.model.apply(params, mel_ln, f0, rngs={"noise": rng})
+        @functools.partial(jax.jit, static_argnames=("deterministic",))
+        def run(params, mel_ln, f0, rng, deterministic=False):
+            return self.model.apply(
+                params, mel_ln, f0, deterministic=deterministic,
+                rngs={"noise": rng},
+            )
 
         return run
 
-    def spec2wav_batch(self, mel, f0, rng=None):
-        """mel: [B, T, M] log10 -> wav [B, T*upp] (jitted, device arrays)."""
+    def spec2wav_batch(self, mel, f0, rng=None, deterministic=None):
+        """mel: [B, T, M] log10 -> wav [B, T*upp] (jitted, device arrays).
+
+        ``deterministic`` (or hparam ``vocoder_deterministic``) zeroes the sine
+        source's random phases/noise for reproducible renders."""
+        if deterministic is None:
+            deterministic = bool(self.hparams.get("vocoder_deterministic", False))
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        return self._jitted(self.params, jnp.asarray(mel) * LOG10_TO_LN, jnp.asarray(f0), rng)
+        return self._jitted(
+            self.params, jnp.asarray(mel) * LOG10_TO_LN, jnp.asarray(f0), rng,
+            deterministic=deterministic,
+        )
 
     def spec2wav(self, mel, f0=None, rng=None, **kwargs):
         """mel: [T, M] log10 -> wav numpy [T*upp]."""
