@@ -71,7 +71,16 @@ class ProDiffTeacher(nn.Module):
             residual_channels=hp["residual_channels"],
             dilation_cycle_length=hp["dilation_cycle_length"],
             dtype=dtype,
-            use_pallas=hp.get("use_pallas_wavenet", False),
+            # None = auto (Pallas kernel on TPU backends, XLA elsewhere)
+            use_pallas=hp.get("use_pallas_wavenet", None),
+            # model_parallel > 1: Megatron-style TP over the mesh "model" axis
+            tp_axis="model" if hp.get("model_parallel", 1) > 1 else None,
+            tp_size=hp.get("model_parallel", 1),
+            pallas_stream_dtype=(
+                jnp.float32
+                if hp.get("pallas_wavenet_dtype", "bfloat16") == "float32"
+                else jnp.bfloat16
+            ),
         )
         self.diffusion_type = hp.get("diff_type", "prodiff")
         if self.diffusion_type == "prodiff":

@@ -58,10 +58,14 @@ class ResidualBlock(nn.Module):
 class WaveNet(nn.Module):
     """x [B, T, in_dims], t [B], cond [B, T, H] -> [B, T, in_dims].
 
-    ``use_pallas=True`` routes inference through the fused Pallas residual
-    stack (``ops/pallas/wavenet.py``; dilation cycle 1 only; measured 1.16x at
-    T<=512 on v5e). The param tree is identical either way, so checkpoints are
-    interchangeable.
+    ``use_pallas`` routes the residual stack through the fused Pallas kernel
+    (``ops/pallas/wavenet.py``; dilation cycle 1 only; measured 1.16x at
+    T<=512 and 1.27x at T=1536/bf16 over the XLA path on v5e). Default
+    ``None`` = auto: Pallas on TPU backends, XLA elsewhere. The path is fully
+    differentiable (custom VJP, ``ops/pallas/wavenet_train.py``) and the param
+    tree is identical either way, so checkpoints are interchangeable.
+    ``pallas_stream_dtype`` sets the weight-stream/MXU dtype (bf16 halves the
+    per-layer HBM weight traffic; accumulation stays f32).
     """
 
     in_dims: int
@@ -70,12 +74,36 @@ class WaveNet(nn.Module):
     residual_channels: int = 256
     dilation_cycle_length: int = 1
     dtype: Optional[jnp.dtype] = None
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None
+    pallas_stream_dtype: jnp.dtype = jnp.bfloat16
+    # tensor parallelism over a mesh axis (parallel/tp_wavenet.py); takes
+    # precedence over the single-chip Pallas kernel when set
+    tp_axis: Optional[str] = None
+    tp_size: int = 1
 
     @nn.compact
     def __call__(self, spec: jnp.ndarray, diffusion_step: jnp.ndarray, cond: jnp.ndarray):
         if (
-            self.use_pallas
+            self.tp_axis is not None
+            and self.tp_size > 1
+            and not self.is_initializing()
+            and self.dilation_cycle_length == 1
+        ):
+            from prodiff_tpu.ops.pallas.wavenet import stack_wavenet_params
+            from prodiff_tpu.parallel.tp_wavenet import wavenet_apply_tp
+
+            w = stack_wavenet_params(self.variables, self.residual_layers)
+            return wavenet_apply_tp(
+                w, spec, diffusion_step, cond,
+                tp_axis=self.tp_axis, tp_size=self.tp_size,
+            ).astype(jnp.float32)
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            # auto: the fused kernel needs a real TPU (tests on the virtual
+            # CPU mesh exercise it explicitly via interpret mode)
+            use_pallas = jax.devices()[0].platform in ("tpu", "axon")
+        if (
+            use_pallas
             and not self.is_initializing()
             and self.dilation_cycle_length == 1
         ):
@@ -84,7 +112,10 @@ class WaveNet(nn.Module):
                 wavenet_apply_pallas,
             )
 
-            w = stack_wavenet_params(self.variables, self.residual_layers)
+            w = stack_wavenet_params(
+                self.variables, self.residual_layers,
+                stream_dtype=self.pallas_stream_dtype,
+            )
             return wavenet_apply_pallas(w, spec, diffusion_step, cond)
         c = self.residual_channels
         x = nn.Conv(

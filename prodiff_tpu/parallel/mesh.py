@@ -17,11 +17,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def create_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+def create_mesh(
+    n_devices: Optional[int] = None,
+    axis_name: str = "data",
+    model_parallel: int = 1,
+    model_axis_name: str = "model",
+) -> Mesh:
+    """1-D data mesh, or a 2-D (data, model) mesh when ``model_parallel > 1``.
+
+    The model axis is the MINOR (fastest-varying) dimension so tensor-parallel
+    collectives ride adjacent devices (ICI) while the data axis spans the rest.
+    """
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (axis_name,))
+    if model_parallel <= 1:
+        return Mesh(np.asarray(devices), (axis_name,))
+    n = len(devices)
+    assert n % model_parallel == 0, (
+        f"{n} devices not divisible by model_parallel={model_parallel}"
+    )
+    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, (axis_name, model_axis_name))
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:

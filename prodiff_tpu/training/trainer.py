@@ -81,7 +81,12 @@ class Trainer:
             jax.distributed.initialize()
         self.work_dir = hparams["work_dir"]
         self.seed = hparams.get("seed", 1234)
-        self.mesh = mesh if mesh is not None else create_mesh()
+        # model_parallel > 1: 2-D (data, model) mesh; the model axis carries
+        # the denoiser's tensor parallelism (parallel/tp_wavenet.py), the data
+        # axis the batch. Default stays pure DP like the reference (§2.9).
+        self.mesh = mesh if mesh is not None else create_mesh(
+            model_parallel=hparams.get("model_parallel", 1)
+        )
         self.n_devices = self.mesh.devices.size
         self.max_updates = hparams.get("max_updates", 200000)
         self.val_check_interval = hparams.get("val_check_interval", 2000)
@@ -219,6 +224,12 @@ class Trainer:
 
     def fit(self, task, max_steps: Optional[int] = None):
         """Full training loop: restore -> epochs -> periodic eval + ckpt."""
+        # mesh context so bare-PartitionSpec sharding constraints (the TP
+        # denoiser path) resolve; a no-op for the pure-DP 1-D mesh
+        with jax.set_mesh(self.mesh):
+            return self._fit(task, max_steps)
+
+    def _fit(self, task, max_steps: Optional[int] = None):
         max_steps = max_steps or self.max_updates
         train_iter_factory = lambda: task.train_iterator(self.n_devices)
         # build from the first batch (defines static shapes for init only)
