@@ -87,11 +87,12 @@ class GaussianDiffusion(nn.Module):
 
     # ---- core -----------------------------------------------------------
 
-    def _denoise(self, x: jnp.ndarray, t: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
+    def _denoise(self, x: jnp.ndarray, t: jnp.ndarray, cond: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
         """x: [B, F, T, M] -> [B, F, T, M] through the [B, T, F*M] denoiser."""
         b, f, tt, m = x.shape
         flat = x.transpose(0, 2, 1, 3).reshape(b, tt, f * m)
-        out = self.denoise_fn(flat, t, cond)
+        out = self.denoise_fn(flat, t, cond, train=train)
         return out.reshape(b, tt, f, m).transpose(0, 2, 1, 3)
 
     def q_sample(self, x_0: jnp.ndarray, t: jnp.ndarray, x_T: jnp.ndarray) -> jnp.ndarray:
@@ -141,7 +142,7 @@ class GaussianDiffusion(nn.Module):
             if src_spec is None:
                 src_spec = jax.random.normal(rng_n, x_0.shape, x_0.dtype)
             x_t = self.q_sample(x_0, t, src_spec)
-            x_0_pred = self._denoise(x_t, t, cond)
+            x_0_pred = self._denoise(x_t, t, cond, train=True)
             return x_0_pred, x_0
 
         infer_step = max(1, min(int(infer_step), self.timesteps))

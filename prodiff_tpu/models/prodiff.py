@@ -81,6 +81,7 @@ class ProDiffTeacher(nn.Module):
                 if hp.get("pallas_wavenet_dtype", "bfloat16") == "float32"
                 else jnp.bfloat16
             ),
+            pallas_train_impl=hp.get("pallas_wavenet_train", "xla"),
         )
         self.diffusion_type = hp.get("diff_type", "prodiff")
         if self.diffusion_type == "prodiff":

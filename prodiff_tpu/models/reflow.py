@@ -60,10 +60,10 @@ class RectifiedFlow(nn.Module):
                 x = jnp.clip(x, self.clamp_min, self.clamp_max)
         return x
 
-    def _velocity(self, x, t_scaled, cond):
+    def _velocity(self, x, t_scaled, cond, train: bool = False):
         b, f, tt, m = x.shape
         flat = x.transpose(0, 2, 1, 3).reshape(b, tt, f * m)
-        out = self.denoise_fn(flat, t_scaled, cond)
+        out = self.denoise_fn(flat, t_scaled, cond, train=train)
         return out.reshape(b, tt, f, m).transpose(0, 2, 1, 3)
 
     def __call__(
@@ -85,7 +85,7 @@ class RectifiedFlow(nn.Module):
             x_start = jax.random.normal(rng_n, x_end.shape, x_end.dtype)
             x_t = x_start + t[:, None, None, None] * (x_end - x_start)
             t_b = jnp.broadcast_to(t, (b,))
-            v_pred = self._velocity(x_t, t_b * self.time_scale, cond)
+            v_pred = self._velocity(x_t, t_b * self.time_scale, cond, train=True)
             return v_pred, x_end - x_start, t
 
         shape = (b, self.num_features, t_mel, self.out_dims

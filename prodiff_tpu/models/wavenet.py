@@ -76,13 +76,27 @@ class WaveNet(nn.Module):
     dtype: Optional[jnp.dtype] = None
     use_pallas: Optional[bool] = None
     pallas_stream_dtype: jnp.dtype = jnp.bfloat16
+    # training backward for the pallas path: 'xla' (autodiff of the plain
+    # stack; measured fastest) or 'pallas' (save-kernel + chain-kernel VJP)
+    pallas_train_impl: str = "xla"
     # tensor parallelism over a mesh axis (parallel/tp_wavenet.py); takes
     # precedence over the single-chip Pallas kernel when set
     tp_axis: Optional[str] = None
     tp_size: int = 1
+    # sequence parallelism: shard the T (frame) axis over a mesh axis; GSPMD
+    # inserts the k=3 conv halo exchanges. For serving single very long
+    # segments where batch DP has nothing to shard (SURVEY §5.7's long-context
+    # axis, scaled out instead of segmented)
+    sp_axis: Optional[str] = None
 
     @nn.compact
-    def __call__(self, spec: jnp.ndarray, diffusion_step: jnp.ndarray, cond: jnp.ndarray):
+    def __call__(self, spec: jnp.ndarray, diffusion_step: jnp.ndarray,
+                 cond: jnp.ndarray, train: bool = False):
+        """``train=True`` (the diffusion wrappers set it on their training
+        branch) routes through the linen/XLA stack — measured fastest for
+        fwd+bwd (23.0 vs 25.2 ms/step at B=16/T=1536 on v5e; the stacked-param
+        custom-VJP route carries ~9% stack/unstack overhead) — while inference
+        keeps the fused Pallas kernel."""
         if (
             self.tp_axis is not None
             and self.tp_size > 1
@@ -104,6 +118,7 @@ class WaveNet(nn.Module):
             use_pallas = jax.devices()[0].platform in ("tpu", "axon")
         if (
             use_pallas
+            and not train
             and not self.is_initializing()
             and self.dilation_cycle_length == 1
         ):
@@ -116,8 +131,20 @@ class WaveNet(nn.Module):
                 self.variables, self.residual_layers,
                 stream_dtype=self.pallas_stream_dtype,
             )
-            return wavenet_apply_pallas(w, spec, diffusion_step, cond)
+            return wavenet_apply_pallas(
+                w, spec, diffusion_step, cond,
+                train_impl=self.pallas_train_impl,
+            )
         c = self.residual_channels
+        if self.sp_axis is not None and not self.is_initializing():
+            from jax.sharding import PartitionSpec as P
+
+            spec = jax.lax.with_sharding_constraint(
+                spec, P(None, self.sp_axis, None)
+            )
+            cond = jax.lax.with_sharding_constraint(
+                cond, P(None, self.sp_axis, None)
+            )
         x = nn.Conv(
             c, kernel_size=(1,), kernel_init=he_normal, dtype=self.dtype,
             name="input_projection",

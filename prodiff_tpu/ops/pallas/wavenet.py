@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Any, Dict, NamedTuple
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -64,13 +64,33 @@ class StackedWaveNet(NamedTuple):
     outp_b: jax.Array  # [M]
 
 
-def stack_wavenet_params(params: Dict[str, Any], n_layers: int) -> StackedWaveNet:
-    """linen WaveNet param tree (``models/wavenet.py`` names) -> stacked arrays."""
+def stack_wavenet_params(
+    params: Dict[str, Any], n_layers: int, stream_dtype: jnp.dtype = jnp.float32
+) -> StackedWaveNet:
+    """linen WaveNet param tree (``models/wavenet.py`` names) -> stacked arrays.
+
+    ``stream_dtype=bfloat16`` halves the per-layer weight traffic the kernel
+    streams from HBM (the long-T bottleneck: with T-tiling every tile refetches
+    the whole stack) and feeds the MXU its native bf16; accumulation and the
+    residual/skip carries stay f32. Biases stay f32 (added post-accumulation).
+    """
     p = params["params"] if "params" in params else params
 
     def layer(i):
         return p[f"layers_{i}"]
 
+    w = _stack_raw(p, layer, n_layers)
+    if stream_dtype == jnp.float32:
+        return w
+    return w._replace(
+        dilated_w=w.dilated_w.astype(stream_dtype),
+        diff_w=w.diff_w.astype(stream_dtype),
+        cond_w=w.cond_w.astype(stream_dtype),
+        out_w=w.out_w.astype(stream_dtype),
+    )
+
+
+def _stack_raw(p, layer, n_layers: int) -> StackedWaveNet:
     return StackedWaveNet(
         dilated_w=jnp.stack([layer(i)["dilated_conv"]["kernel"] for i in range(n_layers)]),
         dilated_b=jnp.stack([layer(i)["dilated_conv"]["bias"][None] for i in range(n_layers)]),
@@ -155,12 +175,14 @@ def fused_residual_stack(
 
         x = x_scr[:]
         dw = dw_ref[0]  # [3, C, 2C]
+        cdt = dw.dtype  # MXU stream/compute dtype (f32 or bf16)
         # y = x + diffusion step projection (broadcast over T)
         step_proj = (
-            jnp.dot(step_ref[:], diffw_ref[0], preferred_element_type=jnp.float32)
+            jnp.dot(step_ref[:].astype(cdt), diffw_ref[0],
+                    preferred_element_type=jnp.float32)
             + diffb_ref[0]
         )  # [1, C]
-        y = (x + step_proj) * mask_ref[:]
+        y = ((x + step_proj) * mask_ref[:]).astype(cdt)
 
         # k=3, dilation=1 conv as three shifted matmuls
         z = jnp.dot(y, dw[1], preferred_element_type=jnp.float32)
@@ -170,13 +192,15 @@ def fused_residual_stack(
         z += jnp.dot(y_next, dw[2], preferred_element_type=jnp.float32)
         z += db_ref[0]
         z += (
-            jnp.dot(cond_ref[:], condw_ref[0], preferred_element_type=jnp.float32)
+            jnp.dot(cond_ref[:].astype(cdt), condw_ref[0],
+                    preferred_element_type=jnp.float32)
             + condb_ref[0]
         )
 
         gate = jax.nn.sigmoid(z[:, :c]) * jnp.tanh(z[:, c:])
         o = (
-            jnp.dot(gate, outw_ref[0], preferred_element_type=jnp.float32)
+            jnp.dot(gate.astype(cdt), outw_ref[0],
+                    preferred_element_type=jnp.float32)
             + outb_ref[0]
         )  # [T, 2C]
         x_scr[:] = (x + o[:, :c]) * RSQRT2
@@ -214,7 +238,7 @@ def fused_residual_stack_tiled(
     step_emb: jax.Array,  # [1, C]
     w: StackedWaveNet,
     tile: int = 512,
-    halo: int = 32,
+    halo: int = 24,
 ) -> jax.Array:
     """VMEM-bounded variant: overlapping T-tiles with a halo >= n_layers,
     walked as the MAJOR pallas grid dimension (layers minor), so the whole
@@ -264,11 +288,13 @@ def fused_residual_stack_tiled(
 
         x = x_scr[:]
         dw = dw_ref[0]
+        cdt = dw.dtype
         step_proj = (
-            jnp.dot(step_ref[:], diffw_ref[0], preferred_element_type=jnp.float32)
+            jnp.dot(step_ref[:].astype(cdt), diffw_ref[0],
+                    preferred_element_type=jnp.float32)
             + diffb_ref[0]
         )
-        y = (x + step_proj) * mask_ref[0]
+        y = ((x + step_proj) * mask_ref[0]).astype(cdt)
         z = jnp.dot(y, dw[1], preferred_element_type=jnp.float32)
         y_prev = jnp.concatenate([jnp.zeros_like(y[:1]), y[: wlen - 1]], axis=0)
         y_next = jnp.concatenate([y[1:], jnp.zeros_like(y[:1])], axis=0)
@@ -276,12 +302,14 @@ def fused_residual_stack_tiled(
         z += jnp.dot(y_next, dw[2], preferred_element_type=jnp.float32)
         z += db_ref[0]
         z += (
-            jnp.dot(cond_ref[0], condw_ref[0], preferred_element_type=jnp.float32)
+            jnp.dot(cond_ref[0].astype(cdt), condw_ref[0],
+                    preferred_element_type=jnp.float32)
             + condb_ref[0]
         )
         gate = jax.nn.sigmoid(z[:, :c]) * jnp.tanh(z[:, c:])
         o = (
-            jnp.dot(gate, outw_ref[0], preferred_element_type=jnp.float32)
+            jnp.dot(gate.astype(cdt), outw_ref[0],
+                    preferred_element_type=jnp.float32)
             + outb_ref[0]
         )
         x_scr[:] = (x + o[:, :c]) * RSQRT2
@@ -329,9 +357,25 @@ def wavenet_apply_pallas(
     spec: jax.Array,  # [B, T, M]
     diffusion_step: jax.Array,  # [B]
     cond: jax.Array,  # [B, T, H]
+    tile: Optional[int] = None,
+    halo: int = 24,
+    save_dtype: jnp.dtype = jnp.bfloat16,
+    train_impl: str = "xla",
 ) -> jax.Array:
     """Full WaveNet forward with the fused residual stack. Mirrors
-    ``models.wavenet.WaveNet.__call__`` exactly."""
+    ``models.wavenet.WaveNet.__call__`` exactly; differentiable (see
+    ``wavenet_train.residual_stack_train``; ``save_dtype`` sets the precision
+    of the per-layer residuals the training fwd streams to HBM).
+
+    ``tile=None`` auto-sizes: run the whole T in one VMEM-resident window when
+    it fits (zero halo recompute, weights streamed once — measured 1.27x over
+    XLA at B=8/T=1536/bf16 on v5e), fall back to halo tiles beyond. The VMEM
+    ceiling depends on the weight stream dtype (f32 stacks are twice as big).
+    """
+    if tile is None:
+        t = spec.shape[1]
+        nontiled_max = 2048 if w.dilated_w.dtype == jnp.bfloat16 else 1024
+        tile = min(max(t, 512), nontiled_max)
     c = w.in_b.shape[0]
     x = jax.nn.relu(
         jnp.einsum("btm,mc->btc", spec, w.in_w[0], preferred_element_type=jnp.float32)
@@ -340,9 +384,17 @@ def wavenet_apply_pallas(
     step = SinusoidalPosEmb(c)(diffusion_step)  # [B, C]
     step = mish(step @ w.mlp0_w + w.mlp0_b) @ w.mlp1_w + w.mlp1_b  # [B, C]
 
-    skip = jax.vmap(
-        lambda xb, cb, sb: fused_residual_stack_tiled(xb, cb, sb[None], w)
-    )(x, cond, step)  # [B, T, C]
+    # the residual stack goes through the custom-VJP wrapper: inference runs
+    # the plain fused kernel (the wrapper's primal), training gets the
+    # Pallas-chain + XLA-einsum backward (ops/pallas/wavenet_train.py)
+    from prodiff_tpu.ops.pallas.wavenet_train import residual_stack_train
+
+    skip = residual_stack_train(
+        x, cond, step,
+        w.dilated_w, w.dilated_b, w.diff_w, w.diff_b,
+        w.cond_w, w.cond_b, w.out_w, w.out_b,
+        tile, halo, save_dtype, train_impl,
+    )  # [B, T, C]
     out = jax.nn.relu(
         jnp.einsum("btc,cd->btd", skip, w.skip_w[0], preferred_element_type=jnp.float32)
         + w.skip_b

@@ -10,6 +10,11 @@ from __future__ import annotations
 import numpy as np
 import parselmouth
 
+if not callable(getattr(parselmouth, "Sound", None)):
+    # a stub/broken install (e.g. a test shim for the torch reference's
+    # imports) must not shadow the real bindings — fall back to the ACF PE
+    raise ImportError("parselmouth present but unusable (no Sound)")
+
 from prodiff_tpu.pe import BasePitchExtractor, pad_frames, register_pe
 from prodiff_tpu.utils.pitch_utils import interp_f0
 

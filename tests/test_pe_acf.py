@@ -18,7 +18,10 @@ HOP = 512
 
 
 def _extract(wav, length=None, **kw):
-    pe = get_pe_cls("parselmouth")({})  # falls back to the built-in ACF
+    # "parselmouth" resolves to the built-in ACF here (no praat bindings);
+    # even a stubbed parselmouth module must not shadow the fallback
+    pe = get_pe_cls("parselmouth")({})
+    assert type(pe).__name__ == "ACF"
     if length is None:
         length = int(len(wav) // HOP) + 1
     return pe.get_pitch(wav, SR, length, hop_size=HOP, **kw)
