@@ -54,7 +54,10 @@ def _measure(make_loop, want_flops=False):
         return dt
     flops = None
     try:
-        cost = fn.lower().compile().cost_analysis()
+        # .lower().cost_analysis() reads HLO cost without a SECOND backend
+        # compile (remote compiles cost 60-200s here; .compile() would not
+        # hit the jit cache)
+        cost = fn.lower().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost["flops"]) / K_ITERS
@@ -68,9 +71,11 @@ _PEAK_TFLOPS = {"TPU v5 lite": 197.0, "TPU v4": 275.0, "TPU v6 lite": 918.0}
 
 
 def _peak_tflops():
+    # one-directional match only: an unknown device kind must return None
+    # rather than borrow a wrong peak and misreport MFU
     name = str(jax.devices()[0].device_kind)
     for k, v in _PEAK_TFLOPS.items():
-        if k.lower() in name.lower() or name.lower() in k.lower():
+        if k.lower() in name.lower():
             return v
     return None
 

@@ -163,7 +163,8 @@ class GaussianDiffusion(nn.Module):
             return self.denorm_spec(x)
 
         noises = (
-            step_noises
+            # slice to the clamped step count so the scan's leading axes agree
+            step_noises[:infer_step]
             if step_noises is not None
             else jax.random.normal(rng_noise, (infer_step, *shape))
         )

@@ -86,9 +86,12 @@ class NsfHifiGAN(BaseVocoder):
             deterministic=deterministic,
         )
 
-    def spec2wav(self, mel, f0=None, rng=None, **kwargs):
+    def spec2wav(self, mel, f0=None, rng=None, deterministic=None, **kwargs):
         """mel: [T, M] log10 -> wav numpy [T*upp]."""
-        wav = self.spec2wav_batch(np.asarray(mel)[None], np.asarray(f0)[None], rng)
+        wav = self.spec2wav_batch(
+            np.asarray(mel)[None], np.asarray(f0)[None], rng,
+            deterministic=deterministic,
+        )
         return np.asarray(wav[0])
 
     @staticmethod
