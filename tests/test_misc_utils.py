@@ -56,3 +56,17 @@ def test_mcd_properties(rng):
     noisy = mel + rng.normal(size=mel.shape).astype(np.float32)
     d = float(mel_cepstral_distortion(jnp.asarray(mel), jnp.asarray(noisy)))
     assert d > 1.0
+
+
+def test_get_note_dur_slur_merge():
+    """Slurred notes merge into their word note — same semantics as the
+    reference's two-pointer loop (handler/infer/handler.py:186-196)."""
+    from prodiff_tpu.infer.handler import SVSInferHandler
+
+    f = SVSInferHandler.get_note_dur
+    # slur=0 starts a word; slur=1 extends the previous word
+    assert f(None, [1.0, 0.5, 0.25], [0, 1, 0]) == [1.5, 0.25]
+    assert f(None, [1.0, 0.5, 0.25, 0.25], [0, 0, 1, 1]) == [1.0, 1.0]
+    assert f(None, [2.0], [0]) == [2.0]
+    # leading slur (degenerate input): reference keeps it attached to slot 0
+    assert f(None, [0.5, 0.5], [1, 0]) == [0.5, 0.5]
