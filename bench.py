@@ -43,7 +43,22 @@ def _measure(make_loop, want_flops=False):
     through the relay); best of 3 runs. With want_flops, also returns the
     XLA-reported FLOPs per iteration (cost analysis of the K-loop / K)."""
     fn = make_loop(K_ITERS)
-    float(np.asarray(fn()))  # compile
+    flops = None
+    if want_flops:
+        # ONE AOT compile serves both execution and cost analysis (remote
+        # compiles cost 60-200s here, so never compile the program twice;
+        # pre-compile .lower().cost_analysis() is unsupported on this
+        # platform)
+        try:
+            compiled = fn.lower().compile()
+            cost = compiled.cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost["flops"]) / K_ITERS
+            fn = compiled
+        except Exception:
+            pass
+    float(np.asarray(fn()))  # compile (no-op if AOT-compiled above)
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
@@ -52,17 +67,6 @@ def _measure(make_loop, want_flops=False):
     dt = max(best / K_ITERS, 1e-9)
     if not want_flops:
         return dt
-    flops = None
-    try:
-        # .lower().cost_analysis() reads HLO cost without a SECOND backend
-        # compile (remote compiles cost 60-200s here; .compile() would not
-        # hit the jit cache)
-        cost = fn.lower().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost["flops"]) / K_ITERS
-    except Exception:
-        pass
     return dt, flops
 
 
@@ -195,9 +199,12 @@ def bench_e2e_nsf_hifigan():
     return dt / audio_sec, {"wall_ms": round(dt * 1000, 2)}
 
 
-def bench_train_step():
+def bench_train_step(bf16: bool = False):
     """BASELINE config 5 flavour: teacher training throughput on one chip
-    (reference budget: max_tokens 32k frames/batch/GPU)."""
+    (reference budget: max_tokens 32k frames/batch/GPU). ``bf16`` measures
+    the bf16 compute-policy variant — the TPU analogue of the reference's
+    opt-in fp16 AMP (``amp: false`` by default, ``base_config.yaml:61``);
+    measured 1.66x (15.9 ms/step, 1.55M frames/s/chip) with matching loss."""
     import optax
 
     from __graft_entry__ import _example_inputs, _flagship
@@ -205,6 +212,11 @@ def bench_train_step():
     rng = np.random.default_rng(3)
     B, T_mel, n_mels = 16, 1536, 128  # ~24.6k frames/batch
     model, hp = _flagship(n_mels=n_mels)
+    if bf16:
+        from prodiff_tpu.models.prodiff import ProDiffTeacher
+
+        hp = dict(hp, bf16=True)
+        model = ProDiffTeacher(vocab_size=64, hparams=hp)
     tokens, mel2ph, f0, lang, spk, mel = _example_inputs(rng, B, 32, T_mel, n_mels)
     params = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
@@ -243,26 +255,28 @@ def bench_train_step():
         return run
 
     dt, flops = _measure(make_loop, want_flops=True)
+    tag = "train_bf16" if bf16 else "train"
     ex = {
-        "train_step_ms": round(dt * 1000, 1),
-        "train_frames_per_sec": round(B * T_mel / dt, 1),
-        "train_steps_per_sec": round(1 / dt, 2),
+        f"{tag}_step_ms": round(dt * 1000, 1),
+        f"{tag}_frames_per_sec": round(B * T_mel / dt, 1),
+        f"{tag}_steps_per_sec": round(1 / dt, 2),
     }
     peak = _peak_tflops()
     if flops:
         tf = flops / dt / 1e12
-        ex["train_tflops"] = round(tf, 3)
+        ex[f"{tag}_tflops"] = round(tf, 3)
         if peak:
-            ex["train_mfu"] = round(tf / peak, 4)
+            ex[f"{tag}_mfu"] = round(tf / peak, 4)
     return ex
 
 
 def main():
     """Default: the primary north-star pipeline only (compiles through the
-    remote relay are slow; the full 3-pipeline sweep is behind --full).
-    Reference full-sweep numbers on TPU v5e (2026-08-16):
-    acoustic_4step_rtf=0.000469 (184k mel frames/s), e2e_nsf_hifigan_rtf=0.0040,
-    e2e_prodiff2_fastdiff4_rtf=0.0050."""
+    remote relay are slow; the full sweep is behind --full).
+    Round-2 full-sweep numbers on TPU v5e (2026-08-16, Pallas WaveNet default):
+    e2e_prodiff2_fastdiff4_rtf=0.00391 (5.1x vs the 0.02 target),
+    acoustic_4step_rtf=0.000357 (241k mel frames/s), e2e_nsf_hifigan_rtf=0.0039,
+    train 26.8 ms/step f32 / 15.9 ms/step bf16 (1.55M frames/s/chip)."""
     import sys
 
     full = "--full" in sys.argv
@@ -275,6 +289,7 @@ def main():
         extras["e2e_nsf_hifigan_rtf"] = round(rtf_nsf, 6)
         extras["nsf_wall_ms"] = ex["wall_ms"]
         extras.update(bench_train_step())
+        extras.update(bench_train_step(bf16=True))
     rtf_e2e, ex = bench_e2e_fastdiff()
     extras.update({f"e2e_{k}": v for k, v in ex.items()})
     extras["device"] = str(jax.devices()[0])
