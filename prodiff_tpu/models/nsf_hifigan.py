@@ -181,9 +181,13 @@ def sine_gen(
     _, base = jax.lax.scan(step, jnp.zeros((b, dim)), jnp.moveaxis(frame_inc, 1, 0))
     base = jnp.moveaxis(base, 0, 1)  # [B, T_f, D] phase at each frame START
 
-    within = (jnp.arange(upp, dtype=jnp.float32) + 1.0)[None, None, :, None]  # [1,1,upp,1]
-    phase = base[:, :, None, :] + within * rad[:, :, None, :]  # [B, T_f, upp, D]
-    sines = jnp.sin(2 * jnp.pi * phase).reshape(b, t_frames * upp, dim)
+    # compute sin with `upp` (>=128) on the LANE axis: a [..., upp, D=9]
+    # layout would run the 2.4M-sample transcendental at 9/128 lane occupancy
+    within = (jnp.arange(upp, dtype=jnp.float32) + 1.0)[None, None, None, :]  # [1,1,1,upp]
+    phase = base[..., None] + within * rad[..., None]  # [B, T_f, D, upp]
+    sines = jnp.sin(2 * jnp.pi * phase)
+    # [B, T_f, D, upp] -> [B, T_f*upp, D]
+    sines = sines.transpose(0, 1, 3, 2).reshape(b, t_frames * upp, dim)
 
     uv = (f0 > voiced_threshold).astype(jnp.float32)[:, :, None]  # [B, T_f, 1]
     uv = jnp.repeat(uv, upp, axis=1)  # nearest upsample
