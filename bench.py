@@ -281,14 +281,17 @@ def main():
 
     full = "--full" in sys.argv
     extras = {}
+    # denoiser + train-step MFU ship in the DEFAULT output (round-2 verdict:
+    # the driver runs plain `python bench.py`, so the utilization record must
+    # not hide behind --full); FLOPs come from the same AOT-compiled programs
+    rtf_ac, ex = bench_acoustic_4step()
+    extras["acoustic_4step_rtf"] = round(rtf_ac, 6)
+    extras.update(ex)
+    extras.update(bench_train_step())
     if full:
-        rtf_ac, ex = bench_acoustic_4step()
-        extras["acoustic_4step_rtf"] = round(rtf_ac, 6)
-        extras.update(ex)
         rtf_nsf, ex = bench_e2e_nsf_hifigan()
         extras["e2e_nsf_hifigan_rtf"] = round(rtf_nsf, 6)
         extras["nsf_wall_ms"] = ex["wall_ms"]
-        extras.update(bench_train_step())
         extras.update(bench_train_step(bf16=True))
     rtf_e2e, ex = bench_e2e_fastdiff()
     extras.update({f"e2e_{k}": v for k, v in ex.items()})

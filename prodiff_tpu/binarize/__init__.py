@@ -83,6 +83,7 @@ class BinarizeHandler:
             data_dir, prefix, segment_size=self.hparams.get("idx_ds_segment_size", 1024)
         )
         lengths, f0s, total_sec = [], [], 0.0
+        item_lengths: Dict[str, list] = {}
         for item in tqdm(self.get_transcription_item_list(prefix), desc=prefix):
             preprocessed_item = self.binarizer.process_item(item)
             builder.add_item(preprocessed_item)
@@ -91,10 +92,24 @@ class BinarizeHandler:
             lengths.append(preprocessed_item["length"])
             if "f0" in preprocessed_item:
                 f0s.append(preprocessed_item["f0"])
+            # per-key leading-dim lengths: lets each multi-host process compute
+            # the batch's global padded shapes WITHOUT loading other processes'
+            # items (data/dataset.py local collation)
+            for k, v in preprocessed_item.items():
+                arr = np.asarray(v)
+                if arr.ndim >= 1:
+                    item_lengths.setdefault(k, []).append(arr.shape[0])
         builder.finalize()
 
         if lengths:
             np.save(f"{data_dir}/{prefix}_lengths.npy", lengths)
+            full = {
+                k: np.asarray(v, np.int64)
+                for k, v in item_lengths.items()
+                if len(v) == len(lengths)
+            }
+            if full:
+                np.savez(f"{data_dir}/{prefix}_item_lengths.npz", **full)
         if f0s:
             f0s = np.concatenate(f0s, 0)
             f0s = f0s[f0s != 0]

@@ -92,6 +92,34 @@ def bucket_batch_size(b: int, buckets: Sequence[int]) -> int:
     return round_up(b, max(buckets))
 
 
+def pad_to_shape(
+    batch: Dict[str, np.ndarray],
+    time_keys: Dict[str, int],
+    t_targets: Dict[str, int],
+    b_target: int,
+    pad_values: Dict[str, float] | None = None,
+) -> Dict[str, np.ndarray]:
+    """Pad a collated batch to EXPLICIT targets (multi-host local collation:
+    every process must produce identical shapes, so the targets come from
+    index-level metadata rather than this process's local max)."""
+    pad_values = pad_values or {}
+    out = {}
+    for k, v in batch.items():
+        if not isinstance(v, np.ndarray) or v.ndim < 1:
+            out[k] = v
+            continue
+        pads = [(0, 0)] * v.ndim
+        pads[0] = (0, b_target - v.shape[0])
+        if k in time_keys:
+            ax = time_keys[k]
+            assert k in t_targets, f"no global length target for time key {k!r}"
+            pads[ax] = (0, t_targets[k] - v.shape[ax])
+        for lo, hi in pads:
+            assert lo >= 0 and hi >= 0, (k, v.shape, b_target, t_targets.get(k))
+        out[k] = np.pad(v, pads, constant_values=pad_values.get(k, 0))
+    return out
+
+
 def pad_to_buckets(
     batch: Dict[str, np.ndarray],
     time_keys: Dict[str, int],

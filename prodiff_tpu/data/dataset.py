@@ -14,11 +14,17 @@ from __future__ import annotations
 import os
 import queue
 import threading
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from prodiff_tpu.data.collate import batch_by_size, pad_to_buckets
+from prodiff_tpu.data.collate import (
+    batch_by_size,
+    bucket_batch_size,
+    pad_to_buckets,
+    pad_to_shape,
+    round_up,
+)
 from prodiff_tpu.utils.indexed_datasets import IndexedDataset
 
 
@@ -30,6 +36,14 @@ class BaseDataset:
         self.data_dir = os.path.join(hparams["data_dir"], hparams["task"])
         self.prefix = prefix
         self.sizes = np.load(f"{self.data_dir}/{self.prefix}_lengths.npy")
+        # per-key per-item lengths sidecar (written at binarize time): lets a
+        # multi-host process compute global padded shapes without loading
+        # other processes' items
+        il_path = f"{self.data_dir}/{self.prefix}_item_lengths.npz"
+        self.item_lengths: Optional[Dict[str, np.ndarray]] = None
+        if os.path.exists(il_path):
+            with np.load(il_path) as z:
+                self.item_lengths = {k: z[k] for k in z.files}
         self.indexed_ds: Optional[IndexedDataset] = None
         self._rng = np.random.default_rng(hparams.get("seed", 1234))
 
@@ -66,6 +80,9 @@ class BaseDataset:
     # static-shape metadata, overridden per task
     time_keys: Dict[str, int] = {}
     pad_values: Dict[str, float] = {}
+    # batch keys derived in the collater whose length tracks another item key
+    # (e.g. pitch_retake masks follow mel2note) — used by local collation
+    length_source: Dict[str, str] = {}
 
     def pad_batch(
         self, batch: Dict[str, np.ndarray], batch_multiple: int = 1
@@ -90,12 +107,29 @@ class BatchIterator:
         max_sentences: int,
         required_batch_size_multiple: int = 1,
         prefetch: int = 4,
+        local_block: Optional[Tuple[int, int, int]] = None,
     ):
+        """``local_block=(lo, hi, n_blocks)`` switches to multi-host local
+        collation: this process loads ONLY the rows its addressable devices
+        own — the scale-correct analogue of the reference's per-rank
+        ``batches[rank::world]`` slicing
+        (``component/train_task/base_task.py:123-126``) — while padded shapes
+        stay globally consistent via the ``{prefix}_item_lengths.npz``
+        sidecar. Yielded batches carry ``_local_rows=(row0, global_B)`` for
+        ``parallel.mesh.shard_batch`` to assemble the global jax.Array."""
         self.dataset = dataset
         self.max_tokens = max_tokens if max_tokens and max_tokens > 0 else None
         self.max_sentences = max_sentences if max_sentences and max_sentences > 0 else None
         self.bsz_mult = required_batch_size_multiple
         self.prefetch = prefetch
+        self.local_block = local_block
+        if local_block is not None and dataset.item_lengths is None:
+            raise ValueError(
+                "multi-host per-process loading needs the "
+                f"{dataset.prefix}_item_lengths.npz sidecar (re-binarize with "
+                "this version, or pass local_block=None to fall back to "
+                "global loading)"
+            )
 
     def _make_batches(self) -> List[List[int]]:
         indices = self.dataset.ordered_indices()
@@ -113,6 +147,9 @@ class BatchIterator:
     def _produce(self, batches: Sequence[Sequence[int]], q: "queue.Queue"):
         try:
             for idxs in batches:
+                if self.local_block is not None:
+                    q.put(self._local_batch(list(idxs)))
+                    continue
                 samples = [self.dataset[i] for i in idxs]
                 batch = self.dataset.collater(samples)
                 q.put(self.dataset.pad_batch(batch, batch_multiple=self.bsz_mult))
@@ -120,6 +157,58 @@ class BatchIterator:
             q.put(e)
         finally:
             q.put(None)
+
+    def _local_batch(self, idxs: List[int]) -> Dict[str, np.ndarray]:
+        """Collate only this process's rows of the global batch, padded to the
+        globally-agreed shapes (identical to what the single-host path would
+        produce for the same index batch)."""
+        ds = self.dataset
+        hp = ds.hparams
+        buckets = hp.get("batch_size_buckets", [1, 2, 4, 8, 16, 32, 48])
+        step = hp.get("length_bucket_step", 128)
+        lo, hi, n_blocks = self.local_block
+        B = len(idxs)
+        b_pad = round_up(bucket_batch_size(B, buckets), self.bsz_mult)
+        assert b_pad % n_blocks == 0, (b_pad, n_blocks)
+        row0, row1 = lo * b_pad // n_blocks, hi * b_pad // n_blocks
+        local_idx = [idxs[r] for r in range(row0, min(row1, B))]
+        # a process whose rows are all padding still needs correctly-typed
+        # zero arrays: collate one template item and drop its row
+        template_only = not local_idx
+        samples = [ds[i] for i in (local_idx or [idxs[0]])]
+        batch = ds.collater(samples)
+        if template_only:
+            batch = {
+                k: v[:0] if isinstance(v, np.ndarray) and v.ndim >= 1 else v
+                for k, v in batch.items()
+            }
+        # global target lengths from the index-level sidecar
+        t_targets: Dict[str, int] = {}
+        for k, v in batch.items():
+            if not isinstance(v, np.ndarray) or v.ndim < 2 and k not in ds.time_keys:
+                continue
+            src = ds.length_source.get(k, k)
+            lens = ds.item_lengths.get(src) if ds.item_lengths else None
+            if lens is None:
+                raise ValueError(
+                    f"no index-level length for batch key {k!r} (item key "
+                    f"{src!r}); add it to the binarizer output or map it via "
+                    "length_source"
+                )
+            t = int(lens[np.asarray(idxs)].max())
+            if k in ds.time_keys:
+                t = round_up(max(t, 1), step)
+            t_targets[k] = t
+        out = pad_to_shape(
+            batch,
+            time_keys={k: ds.time_keys.get(k, 1) for k in t_targets},
+            t_targets=t_targets,
+            b_target=row1 - row0,
+            pad_values=ds.pad_values,
+        )
+        out["nsamples"] = B  # global sample count (val-loss weighting)
+        out["_local_rows"] = (row0, b_pad)
+        return out
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         batches = self._make_batches()

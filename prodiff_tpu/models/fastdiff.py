@@ -137,7 +137,7 @@ class KernelPredictor(nn.Module):
 
 def location_variable_convolution(
     x: jnp.ndarray, kmat: jnp.ndarray, bias: jnp.ndarray, hop_size: int,
-    use_pallas: Optional[bool] = None,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Per-frame predicted convolution as a windowed batched GEMM.
 
@@ -162,8 +162,6 @@ def location_variable_convolution(
     _, L, kcin, cout = kmat.shape
     k = kcin // cin
     assert t == L * hop_size, f"LVC length mismatch: {t} != {L}*{hop_size}"
-    if use_pallas is None:
-        use_pallas = False
     if use_pallas:
         from prodiff_tpu.ops.pallas.lvc import lvc_pallas
 
@@ -192,6 +190,7 @@ class TimeAwareLVCBlock(nn.Module):
     kpnet_hidden_channels: int = 64
     kpnet_conv_size: int = 3
     noise_scale_embed_dim_out: int = 512
+    use_pallas_lvc: bool = False
     dtype: jnp.dtype = None
 
     @nn.compact
@@ -232,7 +231,7 @@ class TimeAwareLVCBlock(nn.Module):
             y = nn.leaky_relu(y, 0.2)
             y = location_variable_convolution(
                 y.astype(kernels.dtype), kernels[:, :, i], bias[:, :, i],
-                self.cond_hop_length,
+                self.cond_hop_length, use_pallas=self.use_pallas_lvc,
             ).astype(x.dtype)
             gate, filt = y[..., : self.in_channels], y[..., self.in_channels :]
             x = x + jax.nn.sigmoid(gate) * jnp.tanh(filt)
@@ -251,6 +250,7 @@ class FastDiff(nn.Module):
     diffusion_step_embed_dim_in: int = 128
     diffusion_step_embed_dim_mid: int = 512
     diffusion_step_embed_dim_out: int = 512
+    use_pallas_lvc: bool = False
     dtype: jnp.dtype = None
 
     @nn.compact
@@ -286,6 +286,7 @@ class FastDiff(nn.Module):
                 kpnet_hidden_channels=self.kpnet_hidden_channels,
                 kpnet_conv_size=self.kpnet_conv_size,
                 noise_scale_embed_dim_out=self.diffusion_step_embed_dim_out,
+                use_pallas_lvc=self.use_pallas_lvc,
                 dtype=self.dtype,
                 name=f"lvc_blocks_{n}",
             )(x, downsampled[n_blocks - 1 - n], c, emb)

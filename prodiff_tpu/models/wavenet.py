@@ -100,6 +100,19 @@ class WaveNet(nn.Module):
         if (
             self.tp_axis is not None
             and self.tp_size > 1
+            and self.dilation_cycle_length != 1
+        ):
+            # fail loudly: the trainer already shrank the data axis to N/mp
+            # for this mesh, so silently skipping TP would quietly lose half
+            # the data-parallel width
+            raise ValueError(
+                "model_parallel > 1 requires dilation_cycle_length == 1 "
+                f"(got {self.dilation_cycle_length}); the TP denoiser stacks "
+                "per-layer params and needs uniform dilation"
+            )
+        if (
+            self.tp_axis is not None
+            and self.tp_size > 1
             and not self.is_initializing()
             and self.dilation_cycle_length == 1
         ):

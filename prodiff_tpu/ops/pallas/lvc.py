@@ -87,6 +87,7 @@ def _lvc_single(x, kmat, bias, hop: int, wpb: int):
 def lvc_pallas(x, kmat, bias, hop: int):
     """Batched fused LVC. x: [B, T, Cin]; kmat: [B, L, k*Cin, Cout];
     bias: [B, L, Cout] -> [B, T, Cout]. Requires hop % 8 == 0."""
+    assert hop % 8 == 0, f"lvc_pallas needs sublane-aligned hop (got {hop})"
     L = kmat.shape[1]
     # ~2048 rows per grid step keeps the MXU busy without VMEM pressure
     wpb = max(1, min(L, 2048 // hop))

@@ -50,25 +50,70 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def process_data_blocks(mesh: Mesh, axis_name: str = "data"):
+    """``(lo, hi, n_blocks)``: the contiguous range of data-axis blocks whose
+    batch rows this process's addressable devices own. A global batch of B
+    rows maps block ``i`` to rows ``[i*B//n_blocks, (i+1)*B//n_blocks)``; this
+    process must supply rows ``[lo*B//n, hi*B//n)``. Feed it to
+    ``BatchIterator(local_block=...)`` so each host loads only its shard."""
+    axis = mesh.axis_names.index(axis_name)
+    mine = set()
+    for idx, d in np.ndenumerate(mesh.devices):
+        if d.process_index == jax.process_index():
+            mine.add(idx[axis])
+    n = mesh.devices.shape[axis]
+    blocks = sorted(mine)
+    assert blocks and blocks == list(range(blocks[0], blocks[-1] + 1)), (
+        f"process {jax.process_index()}'s devices are not contiguous along "
+        f"the {axis_name!r} mesh axis: {blocks}"
+    )
+    return blocks[0], blocks[-1] + 1, n
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis_name: str = "data"):
     """Place a host batch onto the mesh, sharded over the data axis.
 
     Every array's leading dim must be divisible by the mesh size — the batch
     padding buckets guarantee that.
 
-    Single-process: a plain ``device_put`` with the batch sharding. Multi-host
-    (``jax.distributed.initialize()`` ran, so the mesh spans devices this
-    process cannot address): every process holds the same host-global batch
-    (the iterators are seeded identically on every host), and
-    ``jax.make_array_from_callback`` materialises only the rows belonging to
-    this process's addressable devices. This is the SPMD analogue of the
-    reference's per-rank batch slicing ``batches[rank::world]``
-    (``component/train_task/base_task.py:123-126``) — there each rank loads
-    its own sub-batch for NCCL DDP; here each host contributes its shard of
-    one global array and the gradient allreduce is XLA's psum over ICI/DCN.
+    Three modes:
+    - Single-process: a plain ``device_put`` with the batch sharding.
+    - Multi-host, per-process batch (the batch carries ``_local_rows=(row0,
+      global_B)`` from ``BatchIterator(local_block=...)``): each process holds
+      ONLY its own rows; ``jax.make_array_from_callback`` maps every
+      addressable device's global row range onto the local buffer. This is the
+      scale-correct analogue of the reference's ``batches[rank::world]``
+      slicing (``component/train_task/base_task.py:123-126``) — O(B/world)
+      host I/O per process.
+    - Multi-host, host-global batch (legacy fallback when the dataset lacks
+      the item-lengths sidecar): every process holds the same global batch and
+      the callback slices out the addressable rows — correct but O(B) host
+      collation per process.
     """
     sharding = batch_sharding(mesh, axis_name)
     multiprocess = jax.process_count() > 1
+    local_rows = batch.pop("_local_rows", None) if isinstance(batch, dict) else None
+
+    if local_rows is not None:
+        row0, b_global = local_rows
+
+        def _put(x):
+            if not isinstance(x, np.ndarray):
+                return x
+            gshape = (b_global,) + x.shape[1:]
+
+            def cb(idx, x=x, gshape=gshape):
+                start, stop, _ = idx[0].indices(gshape[0])
+                lo, hi = start - row0, stop - row0
+                assert 0 <= lo <= hi <= x.shape[0], (
+                    f"device rows [{start}:{stop}) outside this process's "
+                    f"local shard [{row0}:{row0 + x.shape[0]})"
+                )
+                return x[(slice(lo, hi),) + tuple(idx[1:])]
+
+            return jax.make_array_from_callback(gshape, sharding, cb)
+
+        return jax.tree.map(_put, batch)
 
     def _put(x):
         if not isinstance(x, np.ndarray):

@@ -69,7 +69,7 @@ class BaseTask:
 
     # ---- data ------------------------------------------------------------
 
-    def train_iterator(self, n_devices: int = 1) -> BatchIterator:
+    def train_iterator(self, n_devices: int = 1, local_block=None) -> BatchIterator:
         ds: BaseDataset = self.dataset_cls(
             prefix=self.hparams.get("train_set_name", "train"),
             shuffle=True,
@@ -80,9 +80,10 @@ class BaseTask:
             max_tokens=self.max_tokens * n_devices,
             max_sentences=self.max_sentences,
             required_batch_size_multiple=n_devices,
+            local_block=local_block,
         )
 
-    def val_iterator(self, n_devices: int = 1) -> BatchIterator:
+    def val_iterator(self, n_devices: int = 1, local_block=None) -> BatchIterator:
         ds: BaseDataset = self.dataset_cls(
             prefix=self.hparams.get("valid_set_name", "valid"),
             shuffle=False,
@@ -93,9 +94,14 @@ class BaseTask:
             max_tokens=self.max_valid_tokens,
             max_sentences=self.max_valid_sentences,
             required_batch_size_multiple=n_devices,
+            local_block=local_block,
         )
 
     # ---- validation extras (host side) ------------------------------------
 
-    def validation_plots(self, params, batch, step: int, out_dir: Optional[str]):
+    def validation_plots(self, params, batch, step: int, out_dir: Optional[str],
+                         writer=None):
+        """Qualitative val artifacts: PNGs under ``out_dir`` and, when a
+        MetricsWriter is passed, TensorBoard figures (the reference's
+        ``add_figure`` observability surface)."""
         pass

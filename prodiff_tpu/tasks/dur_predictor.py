@@ -72,7 +72,7 @@ class DurPredictorTask(BaseTask):
         )
         return {"dur": loss}
 
-    def validation_plots(self, params, batch, step, out_dir):
+    def validation_plots(self, params, batch, step, out_dir, writer=None):
         dur_pred = np.asarray(
             self.model.apply(
                 params, batch["ph_seq"], batch["onset"], batch["word_dur"], infer=True

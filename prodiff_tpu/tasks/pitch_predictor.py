@@ -39,6 +39,7 @@ class PitchPredictorDataset(BaseDataset):
         "mel2note": 1, "pitch": 1, "base_pitch": 1, "pitch_retake": 1,
     }
     pad_values = {"note_midi": -1.0, "note_rest": True}
+    length_source = {"pitch_retake": "mel2note"}  # derived mask, mel-axis
 
     def collater(self, samples: List[dict]) -> Dict[str, np.ndarray]:
         if len(samples) == 0:
@@ -122,7 +123,7 @@ class PitchPredictorTask(BaseTask):
             v_pred, v_gt, t, non_padding, self.loss_type, log_norm=True, name="pitch"
         )
 
-    def validation_plots(self, params, batch, step, out_dir):
+    def validation_plots(self, params, batch, step, out_dir, writer=None):
         if out_dir is None:
             return
         import matplotlib
@@ -149,4 +150,6 @@ class PitchPredictorTask(BaseTask):
             plt.plot(pred[i], label="pred")
             plt.legend()
             fig.savefig(os.path.join(out_dir, f"pitch_{i}_step{step}.png"))
+            if writer is not None:
+                writer.add_figure(f"pitch_val_{i}", fig, step)
             plt.close(fig)

@@ -153,7 +153,7 @@ class SVSTask(BaseTask):
             rngs={"diffusion": rng}, **kwargs,
         )
 
-    def validation_plots(self, params, batch, step, out_dir):
+    def validation_plots(self, params, batch, step, out_dir, writer=None):
         if out_dir is None:
             return
         import matplotlib
@@ -176,6 +176,8 @@ class SVSTask(BaseTask):
                 vmax=self.hparams.get("mel_vmax", 1.5),
             )
             fig.savefig(os.path.join(out_dir, f"mel_{i}_step{step}.png"))
+            if writer is not None:
+                writer.add_figure(f"mel_val_{i}", fig, step)
             plt.close(fig)
 
 
@@ -245,5 +247,5 @@ class SVSRectifiedTask(SVSTask):
             self.loss_type_list[0], log_norm=True, name="mel",
         )
 
-    def validation_plots(self, params, batch, step, out_dir):
+    def validation_plots(self, params, batch, step, out_dir, writer=None):
         pass

@@ -100,7 +100,7 @@ class VariPredictorTask(BaseTask):
         non_padding = batch["mel2note"] > 0
         return spec_loss_prodiff(x0_pred, x0, non_padding, self.loss_type, name="vari")
 
-    def validation_plots(self, params, batch, step, out_dir):
+    def validation_plots(self, params, batch, step, out_dir, writer=None):
         if out_dir is None:
             return
         import os
@@ -126,4 +126,6 @@ class VariPredictorTask(BaseTask):
                 plt.plot(pred[i], label="pred")
                 plt.legend()
                 fig.savefig(os.path.join(out_dir, f"{name}_{i}_step{step}.png"))
+                if writer is not None:
+                    writer.add_figure(f"{name}_val_{i}", fig, step)
                 plt.close(fig)

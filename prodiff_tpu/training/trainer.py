@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import logging
 import os
+import signal
+import threading
 import time
 from functools import partial
 from typing import Any, Dict, Optional
@@ -30,7 +32,13 @@ import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
-from prodiff_tpu.parallel.mesh import batch_sharding, create_mesh, replicate, shard_batch
+from prodiff_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    process_data_blocks,
+    replicate,
+    shard_batch,
+)
 from prodiff_tpu.training.optim import build_lr_schedule, build_optimizer
 from prodiff_tpu.utils import ckpt_utils
 
@@ -51,6 +59,16 @@ class MetricsWriter:
         except Exception:
             self.tb = None
         self.jsonl = open(os.path.join(work_dir, "metrics.jsonl"), "a")
+
+    def add_figure(self, tag: str, fig, step: int):
+        """Push a matplotlib figure into TensorBoard (the reference logs
+        mel/f0/dur figures via ``SummaryWriter.add_figure``,
+        ``component/train_task/svs/task.py:90-100``); no-op without TB."""
+        if self.tb is not None:
+            try:
+                self.tb.add_figure(tag, fig, step)
+            except Exception:
+                pass
 
     def add_scalars(self, metrics: Dict[str, float], step: int, prefix: str = ""):
         import json
@@ -181,7 +199,13 @@ class Trainer:
 
     # ---- checkpointing ------------------------------------------------------
 
-    def save_checkpoint(self):
+    def save_checkpoint(self, block: bool = True):
+        """Snapshot state -> atomic file write. With ``async_save: true`` the
+        (slow) serialize+write runs on a background thread so the train loop
+        only pays the device_get; ``block=True`` (signals, final save) joins
+        it. TPU preemption obligation per SURVEY §5.3."""
+        # the device_get snapshot must be synchronous: the caller donates/
+        # mutates self.state on the next step
         payload = {
             "global_step": int(self.global_step),
             "epoch": int(self.current_epoch),
@@ -193,11 +217,27 @@ class Trainer:
                 jax.tree.map(np.asarray, self.state["opt_state"])
             ),
         }
-        path = ckpt_utils.save_checkpoint(
-            self.work_dir, self.global_step, payload, self.num_ckpt_keep
-        )
-        log.info("| saved checkpoint %s", path)
-        return path
+        self._join_pending_save()
+        step = self.global_step
+
+        def write():
+            path = ckpt_utils.save_checkpoint(
+                self.work_dir, step, payload, self.num_ckpt_keep
+            )
+            log.info("| saved checkpoint %s", path)
+            return path
+
+        if self.hparams.get("async_save", False) and not block:
+            self._save_thread = threading.Thread(target=write, daemon=False)
+            self._save_thread.start()
+            return os.path.join(self.work_dir, f"model_ckpt_steps_{step}.ckpt")
+        return write()
+
+    def _join_pending_save(self):
+        t = getattr(self, "_save_thread", None)
+        if t is not None and t.is_alive():
+            t.join()
+        self._save_thread = None
 
     def restore_checkpoint(self) -> bool:
         payload = ckpt_utils.load_last_checkpoint(self.work_dir)
@@ -231,7 +271,9 @@ class Trainer:
 
     def _fit(self, task, max_steps: Optional[int] = None):
         max_steps = max_steps or self.max_updates
-        train_iter_factory = lambda: task.train_iterator(self.n_devices)
+        train_iter_factory = lambda: task.train_iterator(
+            self.n_devices, local_block=self._local_block()
+        )
         # build from the first batch (defines static shapes for init only)
         first_batch = next(iter(train_iter_factory()))
         self.build(task, first_batch)
@@ -247,26 +289,48 @@ class Trainer:
             sanity = self.evaluate(task, max_batches=n)
             log.info("| sanity val: %s", {k: round(v, 4) for k, v in sanity.items()})
 
+        # preemption-safe save: SIGTERM (TPU preemption) and SIGUSR1 trigger
+        # an atomic checkpoint at the next step boundary, then exit. The
+        # reference loses up to val_check_interval steps here (§5.3); we lose
+        # at most one step.
+        preempted = threading.Event()
+        prev_handlers = {}
+
+        def _on_signal(signum, frame):
+            log.warning("| signal %d received; checkpointing before exit", signum)
+            preempted.set()
+
+        for sig in (signal.SIGTERM, signal.SIGUSR1):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _on_signal)
+            except (ValueError, OSError):
+                pass  # non-main thread / unsupported platform
+
         t_start = time.time()
+        # profile trigger counts steps run THIS SESSION (a restored run has
+        # global_step > 10 and would otherwise never trace)
+        steps_this_session = 0
+        profile_at = 10
         try:
-            while self.global_step < max_steps:
+            while self.global_step < max_steps and not preempted.is_set():
                 self.current_epoch += 1
                 for batch in train_iter_factory():
-                    if self.global_step >= max_steps:
+                    if self.global_step >= max_steps or preempted.is_set():
                         break
-                    if self.profile_steps and self.global_step == 10:
+                    if self.profile_steps and steps_this_session == profile_at:
                         jax.profiler.start_trace(
                             os.path.join(self.work_dir, "profile")
                         )
                     if (
                         self.profile_steps
-                        and self.global_step == 10 + self.profile_steps
+                        and steps_this_session == profile_at + self.profile_steps
                     ):
                         jax.profiler.stop_trace()
                     nsamples = batch.pop("nsamples", None)
                     sharded = shard_batch(batch, self.mesh)
                     self.state, metrics = self.train_step(self.state, sharded, rng)
                     self.global_step += 1
+                    steps_this_session += 1
                     if self.global_step % self.tb_log_interval == 0:
                         metrics = jax.device_get(metrics)
                         metrics["lr"] = float(self.lr_schedule(self.global_step))
@@ -278,32 +342,52 @@ class Trainer:
                             )
                         writer.add_scalars(metrics, self.global_step, prefix="tr/")
                     if self.global_step % self.val_check_interval == 0:
-                        val = self.evaluate(task)
+                        val = self.evaluate(task, writer=writer)
                         writer.add_scalars(val, self.global_step, prefix="val/")
                         improved = self._update_best(val.get("total_loss"))
-                        self.save_checkpoint()
+                        self.save_checkpoint(block=False)
                         if improved:
+                            self._join_pending_save()
                             ckpt_utils.save_best_copy(
                                 self.work_dir, self.global_step
                             )
         except KeyboardInterrupt:
             log.info("| interrupted; saving checkpoint")
-            self.save_checkpoint()
+            self.save_checkpoint(block=True)
             raise
         finally:
+            self._join_pending_save()
             writer.close()
-        if self.global_step % self.val_check_interval != 0:
-            self.save_checkpoint()
+            for sig, handler in prev_handlers.items():
+                try:
+                    signal.signal(sig, handler)
+                except (ValueError, OSError):
+                    pass
+        if preempted.is_set() or self.global_step % self.val_check_interval != 0:
+            self.save_checkpoint(block=True)
         dt = time.time() - t_start
         log.info("| training done: %d steps in %.1fs", self.global_step, dt)
         return self.state
 
-    def evaluate(self, task, max_batches: Optional[int] = None) -> Dict[str, float]:
+    def _local_block(self):
+        """Per-process data-axis block range for the input pipeline: on a
+        multi-host mesh each process loads only its own batch rows (the
+        dataset must carry the item-lengths sidecar); single-process runs
+        load everything as before."""
+        if jax.process_count() <= 1:
+            return None
+        if not self.hparams.get("per_process_loading", True):
+            return None  # legacy global-batch-per-host fallback
+        return process_data_blocks(self.mesh)
+
+    def evaluate(self, task, max_batches: Optional[int] = None,
+                 writer: Optional[MetricsWriter] = None) -> Dict[str, float]:
         sums: Dict[str, float] = {}
         weights: Dict[str, float] = {}
         rng = jax.random.PRNGKey(self.seed + 1)
         plotted = False
-        for i, batch in enumerate(task.val_iterator(self.n_devices)):
+        val_iter = task.val_iterator(self.n_devices, local_block=self._local_block())
+        for i, batch in enumerate(val_iter):
             if max_batches is not None and i >= max_batches:
                 break
             nsamples = batch.pop("nsamples", 1)
@@ -315,7 +399,7 @@ class Trainer:
             if not plotted:
                 task.validation_plots(
                     self.state["params"], batch, self.global_step,
-                    os.path.join(self.work_dir, "plots"),
+                    os.path.join(self.work_dir, "plots"), writer=writer,
                 )
                 plotted = True
         return {k: sums[k] / max(weights[k], 1) for k in sums}

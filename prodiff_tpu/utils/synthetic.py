@@ -76,6 +76,7 @@ def make_svs_dataset(
         builder = IndexedDatasetBuilder(task_dir, prefix, segment_size=1024)
         lengths = []
         f0s = []
+        item_lengths = {}
         for i in range(n):
             t_ph = int(rng.integers(4, 8))
             dur = rng.integers(2, 10, t_ph)
@@ -104,8 +105,16 @@ def make_svs_dataset(
             builder.add_item(item)
             lengths.append(t_mel)
             f0s.append(f0)
+            for k, v in item.items():
+                arr = np.asarray(v)
+                if arr.ndim >= 1:
+                    item_lengths.setdefault(k, []).append(arr.shape[0])
         builder.finalize()
         np.save(os.path.join(task_dir, f"{prefix}_lengths.npy"), np.asarray(lengths))
+        np.savez(
+            os.path.join(task_dir, f"{prefix}_item_lengths.npz"),
+            **{k: np.asarray(v, np.int64) for k, v in item_lengths.items()},
+        )
         allf0 = np.concatenate(f0s)
         np.save(
             os.path.join(task_dir, f"{prefix}_f0s_mean_std.npy"),

@@ -42,10 +42,12 @@ NOISE_SCHEDULES = {
 }
 
 
-def load_fastdiff_model(config_path: str, checkpoint_path: str, reverse_step: int = 4):
+def load_fastdiff_model(config_path: str, checkpoint_path: str, reverse_step: int = 4,
+                        use_pallas_lvc: bool = False):
     with open(config_path) as f:
         config = yaml.safe_load(f)
     model = FastDiffNet(
+        use_pallas_lvc=use_pallas_lvc,
         audio_channels=config["audio_channels"],
         inner_channels=config["inner_channels"],
         cond_channels=config["cond_channels"],
@@ -87,8 +89,12 @@ class FastDiff(BaseVocoder):
         assert ckpts, f"no FastDiff checkpoints in {base_dir}"
         print("| load FastDiff:", ckpts[-1])
         reverse_step = int(hparams.get("fastdiff_reverse_step", 4))
+        # opt-in fused Pallas LVC (config key: fastdiff_fused_lvc) — measured
+        # faster standalone but slower in-net on v5e; see models/fastdiff.py
+        fused_lvc = bool(hparams.get("fastdiff_fused_lvc", False))
         self.model, self.params, self.dh, self.noise_schedule, self.config = (
-            load_fastdiff_model(config_path, ckpts[-1], reverse_step)
+            load_fastdiff_model(config_path, ckpts[-1], reverse_step,
+                                use_pallas_lvc=fused_lvc)
         )
         (
             self.beta_infer,

@@ -79,6 +79,53 @@ def main():
 
     print(f"MULTIHOST_OK process={process_id} value={got:.6f}")
 
+    if len(sys.argv) > 4:
+        data_dir = sys.argv[4]
+        run_local_loading(mesh, process_id, data_dir)
+
+
+def run_local_loading(mesh, process_id, data_dir):
+    """Per-process input pipeline: each host loads ONLY its shard's items, and
+    shard_batch assembles a correct global array from the local rows."""
+    from prodiff_tpu.parallel.mesh import process_data_blocks
+    from prodiff_tpu.tasks import get_task_cls
+    from prodiff_tpu.utils.synthetic import small_hparams
+
+    hp = small_hparams(data_dir, "svs", max_tokens=100000, max_sentences=8)
+    task = get_task_cls("svs")(hp)
+    lb = process_data_blocks(mesh)
+
+    it = task.train_iterator(mesh.devices.size, local_block=lb)
+    loaded = []
+    orig_getitem = type(it.dataset).__getitem__
+
+    def counting(ds, i, _orig=orig_getitem):
+        loaded.append(int(i))
+        return _orig(ds, i)
+
+    type(it.dataset).__getitem__ = counting
+    checks = []
+    for batch in it:
+        row0, b_global = batch["_local_rows"]
+        sharded = shard_batch(batch, mesh)
+        x = sharded["mel"]
+        assert x.shape[0] == b_global
+        # row-position-sensitive checksum of the GLOBAL array, computed by a
+        # jitted global reduction (both processes must agree)
+        w = jnp.arange(1, b_global + 1, dtype=jnp.float32)
+        chk = jax.jit(
+            lambda x, w: jnp.sum(jnp.sum(x, axis=(1, 2)) * w)
+        )(x, replicate(w, mesh))
+        checks.append(float(jax.device_get(chk)))
+    type(it.dataset).__getitem__ = orig_getitem
+
+    # every loaded item index must belong to a row this process owns; print
+    # them so the parent can assert disjointness + full coverage
+    print(
+        f"LOCALLOAD_OK process={process_id} "
+        f"loaded={sorted(set(loaded))} checks={[round(c, 3) for c in checks]}"
+    )
+
 
 if __name__ == "__main__":
     main()

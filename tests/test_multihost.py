@@ -25,7 +25,11 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_data_mesh():
+def test_two_process_data_mesh(tmp_path):
+    from prodiff_tpu.utils.synthetic import make_svs_dataset
+
+    data_dir = str(tmp_path)
+    make_svs_dataset(data_dir, "svs", n_train=16, n_valid=4)
     port = _free_port()
     coordinator = f"localhost:{port}"
     env = dict(os.environ)
@@ -34,7 +38,7 @@ def test_two_process_data_mesh():
     env["JAX_PLATFORMS"] = "cpu"
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(i), "2", coordinator],
+            [sys.executable, WORKER, str(i), "2", coordinator, data_dir],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
@@ -58,3 +62,18 @@ def test_two_process_data_mesh():
     v0 = [l for l in outs[0].splitlines() if "MULTIHOST_OK" in l][0].split("value=")[1]
     v1 = [l for l in outs[1].splitlines() if "MULTIHOST_OK" in l][0].split("value=")[1]
     assert v0 == v1
+
+    # per-process input pipeline: each process loaded ONLY its own item shard
+    # (disjoint sets), and both agree on the global batch checksums
+    import ast
+
+    infos = []
+    for out in outs:
+        line = [l for l in out.splitlines() if "LOCALLOAD_OK" in l]
+        assert line, out
+        loaded = ast.literal_eval(line[0].split("loaded=")[1].split(" checks=")[0])
+        checks = ast.literal_eval(line[0].split("checks=")[1])
+        infos.append((set(loaded), checks))
+    assert infos[0][0].isdisjoint(infos[1][0]), infos
+    assert infos[0][0] | infos[1][0] == set(range(16)), infos
+    assert infos[0][1] == infos[1][1], infos

@@ -1,0 +1,98 @@
+"""Preemption-safe checkpointing: SIGTERM a real training process, verify an
+atomic checkpoint lands before exit, and resume losslessly (SURVEY §5.3's
+TPU-native save-on-signal obligation; the reference loses up to
+``val_check_interval`` steps, ``handler/train/handler.py:120-121``)."""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+from prodiff_tpu.parallel.mesh import create_mesh
+from prodiff_tpu.tasks import get_task_cls
+from prodiff_tpu.training.trainer import Trainer
+from prodiff_tpu.utils import ckpt_utils
+from prodiff_tpu.utils.synthetic import make_svs_dataset, small_hparams
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_sigterm_saves_and_resumes(tmp_path):
+    data_dir = str(tmp_path)
+    make_svs_dataset(data_dir, "svs")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tests", "preempt_worker.py"), data_dir],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        cwd=REPO,
+    )
+    # wait until a few steps have run, then preempt
+    saw_step = None
+    lines = []
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        line = proc.stdout.readline()
+        if not line:
+            break
+        lines.append(line.strip())
+        if line.startswith("STEP "):
+            saw_step = int(line.split()[1])
+            if saw_step >= 3:
+                break
+    assert saw_step is not None and saw_step >= 3, "\n".join(lines)
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=120)
+    lines += out.strip().splitlines()
+    assert proc.returncode == 0, "\n".join(lines)
+    exited = [l for l in lines if l.startswith("EXITED ")]
+    assert exited, "\n".join(lines)
+    exit_step = int(exited[0].split()[1])
+
+    # the signal-triggered checkpoint exists at the step the loop stopped on —
+    # NOT at a val_check_interval multiple (that interval was 100000)
+    ckpts = ckpt_utils.sorted_checkpoints(
+        os.path.join(data_dir, "work", "svs")
+    )
+    assert ckpts, "no checkpoint written on SIGTERM"
+    assert ckpts[-1][1] == exit_step
+    assert 0 < exit_step < 100000
+
+    # lossless resume: a fresh trainer restores at exit_step and continues
+    hp = small_hparams(
+        data_dir, "svs", max_updates=exit_step + 2, val_check_interval=100000,
+        num_sanity_val_steps=0,
+    )
+    task = get_task_cls("svs")(hp)
+    trainer = Trainer(hp, mesh=create_mesh(1))
+    trainer.fit(task, max_steps=exit_step + 2)
+    assert trainer.global_step == exit_step + 2
+
+
+def test_async_save_writes_identical_checkpoint(tmp_path):
+    """async_save=True must produce the same on-disk artifact as sync save."""
+    data_dir = str(tmp_path)
+    make_svs_dataset(data_dir, "svs")
+    hp = small_hparams(
+        data_dir, "svs", max_updates=10, val_check_interval=5,
+        num_sanity_val_steps=0, async_save=True,
+    )
+    task = get_task_cls("svs")(hp)
+    trainer = Trainer(hp, mesh=create_mesh(2))
+    trainer.fit(task, max_steps=10)
+    ckpts = ckpt_utils.sorted_checkpoints(hp["work_dir"])
+    steps = [s for _, s in ckpts]
+    assert 10 in steps
+    payload = ckpt_utils.load_checkpoint_file(ckpts[-1][0])
+    assert payload["global_step"] == 10
+    # restored params match the live state (no torn/partial async write)
+    import jax
+
+    live = jax.tree.leaves(jax.device_get(trainer.state["params"]))
+    saved = jax.tree.leaves(payload["state_dict"])
+    assert len(live) == len(saved)
+    for a, b in zip(live, saved):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
