@@ -35,14 +35,19 @@ except Exception:
     pass
 
 K_ITERS = 16
+K_ITERS_HI = 48
 
 
 def _measure(make_loop, want_flops=False):
-    """make_loop(K) -> zero-arg jitted fn returning a scalar. One compiled
-    program, K chained iterations, scalar readback (large transfers are slow
-    through the relay); best of 3 runs. With want_flops, also returns the
-    XLA-reported FLOPs per iteration (cost analysis of the K-loop / K)."""
-    fn = make_loop(K_ITERS)
+    """make_loop(K) -> zero-arg jitted fn returning a scalar. Two compiled
+    programs (K_lo / K_hi chained iterations each, scalar readback — large
+    transfers are slow through the relay); per-iteration time =
+    (T(K_hi) - T(K_lo)) / (K_hi - K_lo), best of 3 runs each, which cancels
+    the constant dispatch/relay round-trip (~1.7 ms here — single-K division
+    buries small kernels under it). With want_flops, also returns the
+    XLA-reported FLOPs per iteration (cost analysis of the K_hi loop / K_hi)."""
+    fn_lo = make_loop(K_ITERS)
+    fn_hi = make_loop(K_ITERS_HI)
     flops = None
     if want_flops:
         # ONE AOT compile serves both execution and cost analysis (remote
@@ -50,21 +55,27 @@ def _measure(make_loop, want_flops=False):
         # pre-compile .lower().cost_analysis() is unsupported on this
         # platform)
         try:
-            compiled = fn.lower().compile()
+            compiled = fn_hi.lower().compile()
             cost = compiled.cost_analysis()
             if isinstance(cost, (list, tuple)):
                 cost = cost[0]
-            flops = float(cost["flops"]) / K_ITERS
-            fn = compiled
+            flops = float(cost["flops"]) / K_ITERS_HI
+            fn_hi = compiled
         except Exception:
             pass
-    float(np.asarray(fn()))  # compile (no-op if AOT-compiled above)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        float(np.asarray(fn()))
-        best = min(best, time.time() - t0)
-    dt = max(best / K_ITERS, 1e-9)
+
+    def best_of(fn, n=3):
+        float(np.asarray(fn()))  # compile (no-op if AOT-compiled above)
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.time()
+            float(np.asarray(fn()))
+            best = min(best, time.time() - t0)
+        return best
+
+    t_lo = best_of(fn_lo)
+    t_hi = best_of(fn_hi)
+    dt = max((t_hi - t_lo) / (K_ITERS_HI - K_ITERS), 1e-9)
     if not want_flops:
         return dt
     return dt, flops

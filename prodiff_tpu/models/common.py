@@ -108,16 +108,30 @@ class SinusoidalPositionalEmbedding(nn.Module):
 
 class MultiheadSelfAttention(nn.Module):
     """Self-attention equivalent to fairseq ``MultiheadAttention`` with
-    ``self_attention=True, bias=False`` (as used by ``EncSALayer``)."""
+    ``self_attention=True, bias=False`` (as used by ``EncSALayer``).
+
+    ``tp_axis``: Megatron-style tensor parallelism — heads sharded over the
+    mesh axis (column-parallel in_proj, row-parallel out_proj); GSPMD inserts
+    the single psum at the out_proj. Beyond reference parity (the reference is
+    DP-only, SURVEY §2.9)."""
 
     embed_dim: int
     num_heads: int
     dtype: Optional[jnp.dtype] = None
+    tp_axis: Optional[str] = None
+    data_axis: str = "data"
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, key_padding_mask: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
+        from jax.sharding import PartitionSpec as P
+
+        tp = self.tp_axis is not None and not self.is_initializing()
+        cstr = (
+            jax.lax.with_sharding_constraint if tp else (lambda arr, spec: arr)
+        )
+        head_spec = P(self.data_axis, None, self.tp_axis, None) if tp else None
         h, d = self.num_heads, self.embed_dim // self.num_heads
         scaling = d ** -0.5
         qkv = nn.Dense(
@@ -129,23 +143,28 @@ class MultiheadSelfAttention(nn.Module):
         )(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         b, t = x.shape[0], x.shape[1]
-        q = q.reshape(b, t, h, d) * scaling
-        k = k.reshape(b, t, h, d)
-        v = v.reshape(b, t, h, d)
+        q = cstr(q.reshape(b, t, h, d) * scaling, head_spec)
+        k = cstr(k.reshape(b, t, h, d), head_spec)
+        v = cstr(v.reshape(b, t, h, d), head_spec)
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        if tp:
+            attn = cstr(attn, P(self.data_axis, self.tp_axis, None, None))
         if key_padding_mask is not None:
             attn = jnp.where(
                 key_padding_mask[:, None, None, :], jnp.finfo(jnp.float32).min, attn
             )
         attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, self.embed_dim)
-        return nn.Dense(
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        out = cstr(out, head_spec).reshape(b, t, self.embed_dim)
+        out = nn.Dense(
             self.embed_dim,
             use_bias=False,
             kernel_init=xavier_uniform,
             dtype=self.dtype,
             name="out_proj",
         )(out)
+        # row-parallel reduce: result replicated over the model axis
+        return cstr(out, P(self.data_axis, None, None))
 
 
 class TransformerFFNLayer(nn.Module):
@@ -157,9 +176,14 @@ class TransformerFFNLayer(nn.Module):
     dropout: float = 0.0
     act: str = "gelu"
     dtype: Optional[jnp.dtype] = None
+    tp_axis: Optional[str] = None
+    data_axis: str = "data"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        from jax.sharding import PartitionSpec as P
+
+        tp = self.tp_axis is not None and not self.is_initializing()
         x = nn.Conv(
             self.filter_size,
             kernel_size=(self.kernel_size,),
@@ -167,6 +191,12 @@ class TransformerFFNLayer(nn.Module):
             dtype=self.dtype,
             name="ffn_1",
         )(x)
+        if tp:
+            # column-parallel expansion: the 4H filter channels shard, the
+            # k=9 conv + GELU stay local
+            x = jax.lax.with_sharding_constraint(
+                x, P(self.data_axis, None, self.tp_axis)
+            )
         x = x * self.kernel_size ** -0.5
         if self.act == "gelu":
             x = jax.nn.gelu(x, approximate=False)
@@ -175,7 +205,13 @@ class TransformerFFNLayer(nn.Module):
         elif self.act == "swish":
             x = jax.nn.silu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        return Linear(self.hidden_size, dtype=self.dtype, name="ffn_2")(x)
+        x = Linear(self.hidden_size, dtype=self.dtype, name="ffn_2")(x)
+        if tp:
+            # row-parallel contraction: psum over the model axis
+            x = jax.lax.with_sharding_constraint(
+                x, P(self.data_axis, None, None)
+            )
+        return x
 
 
 class EncSALayer(nn.Module):
@@ -187,6 +223,7 @@ class EncSALayer(nn.Module):
     kernel_size: int = 9
     act: str = "gelu"
     dtype: Optional[jnp.dtype] = None
+    tp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -200,7 +237,8 @@ class EncSALayer(nn.Module):
             residual = x
             x = nn.LayerNorm(name="layer_norm1")(x)
             x = MultiheadSelfAttention(
-                self.hidden_size, self.num_heads, dtype=self.dtype, name="self_attn"
+                self.hidden_size, self.num_heads, dtype=self.dtype,
+                tp_axis=self.tp_axis, name="self_attn"
             )(x, key_padding_mask=padding_mask)
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
             x = (residual + x) * nonpad
@@ -213,6 +251,7 @@ class EncSALayer(nn.Module):
             dropout=self.dropout,
             act=self.act,
             dtype=self.dtype,
+            tp_axis=self.tp_axis,
             name="ffn",
         )(x, deterministic=deterministic)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
@@ -232,6 +271,7 @@ class FFTBlocks(nn.Module):
     use_last_norm: bool = True
     max_positions: int = 2000
     dtype: Optional[jnp.dtype] = None
+    tp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -256,6 +296,7 @@ class FFTBlocks(nn.Module):
                 dropout=self.dropout,
                 kernel_size=self.ffn_kernel_size,
                 dtype=self.dtype,
+                tp_axis=self.tp_axis,
                 name=f"layers_{i}",
             )(x, padding_mask, deterministic=deterministic) * nonpad
         if self.use_last_norm:

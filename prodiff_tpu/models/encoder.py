@@ -26,6 +26,9 @@ class FastspeechEncoder(nn.Module):
     dropout: float = 0.1
     num_heads: int = 2
     dtype: Optional[jnp.dtype] = None
+    # Megatron-style tensor parallelism over a mesh axis (heads + FFN filter
+    # channels sharded); beyond reference parity like the denoiser's
+    tp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -52,6 +55,7 @@ class FastspeechEncoder(nn.Module):
             num_heads=self.num_heads,
             use_pos_embed=False,
             dtype=self.dtype,
+            tp_axis=self.tp_axis,
             name="fft_blocks",
         )(x, padding_mask, deterministic=deterministic)
 

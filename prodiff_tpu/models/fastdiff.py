@@ -121,13 +121,14 @@ class KernelPredictor(nn.Module):
         kernels = nn.Conv(l_w, (self.conv_size,), padding="SAME", dtype=self.dtype, name="kernel_conv")(h)
         bias = nn.Conv(l_b, (self.conv_size,), padding="SAME", dtype=self.dtype, name="bias_conv")(h)
         b, L = c.shape[0], c.shape[1]
-        # emit the GEMM-ready [B, L, layers, k*Cin, Cout] layout in ONE fused
-        # copy: a [..., Cin, Cout, k] tensor's trailing k=3 lanes would tile
-        # (8, 128) at ~2% occupancy and dominate this net's HBM traffic
+        # kernel_conv's OUTPUT CHANNELS are ordered [layers, k, Cin, Cout]
+        # (tap-major), so the GEMM-ready [B, L, layers, k*Cin, Cout] layout is
+        # a plain reshape. The torch checkpoint stores [layers, Cin, Cout, k]
+        # order; ``convert_fastdiff`` permutes the conv's output-channel rows
+        # once at load time. (Round-2 did the permutation in-graph as a
+        # transpose — measured ~1.5 ms/block/step on v5e because the trailing
+        # k=3 axis tiles at 2% lane occupancy.)
         kernels = kernels.reshape(
-            b, L, self.conv_layers, self.conv_in_channels, self.conv_out_channels, k
-        )
-        kernels = kernels.transpose(0, 1, 2, 5, 3, 4).reshape(
             b, L, self.conv_layers, k * self.conv_in_channels,
             self.conv_out_channels,
         )
@@ -251,12 +252,39 @@ class FastDiff(nn.Module):
     diffusion_step_embed_dim_mid: int = 512
     diffusion_step_embed_dim_out: int = 512
     use_pallas_lvc: bool = False
+    # packed trunk: run the whole audio-rate pyramid in the space-to-depth
+    # [B, T/P, 128] layout with the fused UBlock Pallas kernel. None = auto
+    # (on for TPU inference). Requires the reference architecture shape
+    # (k=3 LVC, 128 % inner_channels == 0).
+    use_packed: Optional[bool] = None
     dtype: jnp.dtype = None
+
+    def _packed_supported(self) -> bool:
+        return (
+            self.lvc_kernel_size == 3
+            and self.audio_channels == 1
+            and 128 % self.inner_channels == 0
+            and 128 // self.inner_channels >= 1
+            and all(r % 2 == 0 for r in self.upsample_ratios)
+        )
 
     @nn.compact
     def __call__(self, audio, c, diffusion_steps):
         """audio: [B, T, 1]; c: [B, L, cond] (T == L * prod(ratios));
         diffusion_steps: [B, 1] -> epsilon [B, T, 1]."""
+        use_packed = self.use_packed
+        if use_packed is None:
+            # auto: off until the fused kernel is validated on real hardware
+            # (opt-in via use_packed=True / the fastdiff_packed config key)
+            use_packed = False
+        if (
+            use_packed
+            and not self.is_initializing()
+            and self._packed_supported()
+            # smallest pyramid rate is L samples; every rate must pack evenly
+            and c.shape[1] % (128 // self.inner_channels) == 0
+        ):
+            return _packed_forward(self, audio, c, diffusion_steps)
         emb = diffusion_step_embedding(diffusion_steps, self.diffusion_step_embed_dim_in)
         emb = swish(nn.Dense(self.diffusion_step_embed_dim_mid, name="fc_t1")(emb))
         emb = swish(nn.Dense(self.diffusion_step_embed_dim_out, name="fc_t2")(emb))
@@ -293,6 +321,118 @@ class FastDiff(nn.Module):
         out = nn.Conv(self.audio_channels, (7,), padding="SAME", dtype=self.dtype,
                       name="final_conv")(x)
         return out.astype(jnp.float32)
+
+
+# ---- packed (space-to-depth) execution path ---------------------------------
+
+
+def _packed_forward(net: "FastDiff", audio, c, diffusion_steps):
+    """Whole-net forward on the packed [B, T/P, 128] trunk.
+
+    Reads the SAME params as the linen path (``net.variables``); the layer
+    loop runs as fused UBlock Pallas kernels (ops/pallas/ublock.py), the
+    pyramid edges as packed matmul ops (ops/packed.py). Inference only —
+    training/golden paths use the linen formulation.
+    """
+    from prodiff_tpu.ops import packed as pk
+    from prodiff_tpu.ops.pallas.ublock import ublock_layer_packed
+
+    params = net.variables["params"]
+    cin = net.inner_channels
+    p = 128 // cin
+    b = audio.shape[0]
+    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+
+    def dense(name, x, parent=params):
+        w = parent[name]["kernel"]
+        return x @ w + parent[name]["bias"]
+
+    emb = diffusion_step_embedding(diffusion_steps, net.diffusion_step_embed_dim_in)
+    emb = swish(dense("fc_t1", emb))
+    emb = swish(dense("fc_t2", emb))
+
+    xp = pk.packed_conv_from_flat(
+        audio[..., 0],
+        params["first_audio_conv"]["kernel"],
+        params["first_audio_conv"]["bias"],
+        p,
+    )
+
+    n_blocks = len(net.upsample_ratios)
+    downsampled = []
+    for i in range(n_blocks):
+        downsampled.append(xp)
+        dp = params[f"downsample_{i}"]
+        factor = net.upsample_ratios[n_blocks - i - 1]
+        down = pk.packed_downsample(xp, factor, cin)
+        residual = pk.packed_dense(
+            down, dp["residual_dense"]["kernel"][0], dp["residual_dense"]["bias"], cin
+        )
+        h = down
+        for j, d in enumerate([1, 2, 4]):
+            h = jax.nn.leaky_relu(h, 0.2)
+            h = pk.packed_conv3(
+                h, dp[f"conv_{j}"]["kernel"], dp[f"conv_{j}"]["bias"], d, cin
+            )
+        xp = h + residual
+
+    cond_hop = 1
+    for n in range(n_blocks):
+        r = net.upsample_ratios[n]
+        cond_hop *= r
+        bp = params[f"lvc_blocks_{n}"]
+        noise = dense("fc_t", emb, parent=bp)
+        condition = c + noise[:, None, :]
+        kp = KernelPredictor(
+            conv_in_channels=cin,
+            conv_out_channels=2 * cin,
+            conv_layers=net.lvc_layers_each_block,
+            conv_kernel_size=net.lvc_kernel_size,
+            hidden_channels=net.kpnet_hidden_channels,
+            conv_size=net.kpnet_conv_size,
+        )
+        kernels, kbias = kp.apply({"params": bp["kernel_predictor"]}, condition)
+        xp = jax.nn.leaky_relu(xp, 0.2)
+        xp = pk.packed_conv_transpose_packed_in(
+            xp, bp["upsample"]["kernel"], bp["upsample"]["bias"],
+            stride=r, padding=r // 2 + r % 2, output_padding=r % 2, cin=cin,
+        )
+        adp = downsampled[n_blocks - 1 - n]
+        if cond_hop >= 128:
+            # audio-rate block: fused Pallas layers on the packed trunk
+            for i in range(net.lvc_layers_each_block):
+                xp = ublock_layer_packed(
+                    xp, adp,
+                    bp[f"convs_{i}"]["kernel"], bp[f"convs_{i}"]["bias"],
+                    kernels[:, :, i], kbias[:, :, i],
+                    dilation=3 ** i, hop=cond_hop, interpret=interpret,
+                )
+        else:
+            # low-rate blocks (hop < 128): per-window GEMMs are too small for
+            # the fused kernel; the XLA einsum path at 1/32..1/4 audio rate
+            # is cheap. One unpack/repack pair per block.
+            x = pk.unpack(xp, cin)
+            ad = pk.unpack(adp, cin)
+            for i in range(net.lvc_layers_each_block):
+                x = x + ad
+                y = jax.nn.leaky_relu(x, 0.2)
+                y = jax.lax.conv_general_dilated(
+                    y, bp[f"convs_{i}"]["kernel"], (1,), "SAME",
+                    rhs_dilation=(3 ** i,),
+                    dimension_numbers=("NWC", "WIO", "NWC"),
+                ) + bp[f"convs_{i}"]["bias"]
+                y = jax.nn.leaky_relu(y, 0.2)
+                y = location_variable_convolution(
+                    y, kernels[:, :, i], kbias[:, :, i], cond_hop
+                )
+                gate, filt = y[..., :cin], y[..., cin:]
+                x = x + jax.nn.sigmoid(gate) * jnp.tanh(filt)
+            xp = pk.pack(x, p)
+
+    out = pk.packed_conv_to_flat(
+        xp, params["final_conv"]["kernel"], params["final_conv"]["bias"], cin
+    )
+    return out[..., None].astype(jnp.float32)
 
 
 # ---- diffusion hyperparams + sampling ----------------------------------------
@@ -441,6 +581,27 @@ def convert_fastdiff(sd: dict, config: dict) -> dict:
         "final_conv": conv("final_conv.0"),
     }
     n_blocks = len(config["upsample_ratios"])
+    cin = config["inner_channels"]
+    cout = 2 * cin
+    k = config["lvc_kernel_size"]
+    layers = config["lvc_layers_each_block"]
+    # permutation of kernel_conv's output channels: torch emits flattened
+    # [layers, Cin, Cout, k]; the flax KernelPredictor wants tap-major
+    # [layers, k, Cin, Cout] so the GEMM-ready kmat is a plain reshape
+    perm = (
+        np.arange(layers * cin * cout * k)
+        .reshape(layers, cin, cout, k)
+        .transpose(0, 3, 1, 2)
+        .reshape(-1)
+    )
+
+    def kernel_conv(src):
+        out = conv(src)
+        return {
+            "kernel": np.ascontiguousarray(out["kernel"][:, :, perm]),
+            "bias": np.ascontiguousarray(out["bias"][perm]),
+        }
+
     for i in range(n_blocks):
         p[f"downsample_{i}"] = {
             "residual_dense": conv(f"downsample.{i}.residual_dense"),
@@ -450,7 +611,7 @@ def convert_fastdiff(sd: dict, config: dict) -> dict:
         }
         kp = {
             "input_conv": conv(f"lvc_blocks.{i}.kernel_predictor.input_conv.0"),
-            "kernel_conv": conv(f"lvc_blocks.{i}.kernel_predictor.kernel_conv"),
+            "kernel_conv": kernel_conv(f"lvc_blocks.{i}.kernel_predictor.kernel_conv"),
             "bias_conv": conv(f"lvc_blocks.{i}.kernel_predictor.bias_conv"),
         }
         # residual_conv Sequential indices with convs at 1,3,6,8,11,13

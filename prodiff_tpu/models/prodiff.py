@@ -50,6 +50,9 @@ class ProDiffTeacher(nn.Module):
             dropout=hp["dropout"],
             num_heads=hp["num_heads"],
             dtype=dtype,
+            # model_parallel > 1 shards the encoder too (attention heads +
+            # FFN filter channels), mirroring the denoiser's TP axis
+            tp_axis="model" if hp.get("model_parallel", 1) > 1 else None,
         )
         self.with_dur_embed = hp.get("use_dur_embed", True)
         if self.with_dur_embed:

@@ -1,0 +1,345 @@
+"""Space-to-depth ("packed") layout ops for waveform-rate nets.
+
+FastDiff's trunk runs C=32 channels at audio rate; a [T, 32] f32 tensor tiles
+(8, 128) on TPU with 96 of 128 lanes dead, so every materialised intermediate
+costs 4x its logical HBM traffic (the round-2 verdict's top finding). These
+ops keep the whole trunk in a packed [B, T/P, P*C] layout (P*C = 128 lanes
+full) and express the reference ops (k=3 dilated conv, ConvTranspose1d,
+nearest-downsample, 1x1 conv, k=7 edge convs) as shifted matmuls on packed
+rows — no unpacking between layers.
+
+Time order inside a packed row is little-endian: row i lane group p holds time
+``i*P + p``, so ``x.reshape(B, T, C) <-> x.reshape(B, T//P, P*C)`` are
+row-major-compatible views of the same logical tensor.
+
+Reference semantics: ``modules/FastDiff/module/modules.py`` (LVC blocks,
+DBlocks), ``FastDiff_model.py`` (pyramid wiring).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pack(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    """[B, T, C] -> [B, T//P, P*C] (row-major view change)."""
+    b, t, c = x.shape
+    assert t % p == 0, (t, p)
+    return x.reshape(b, t // p, p * c)
+
+
+def unpack(xp: jnp.ndarray, c: int) -> jnp.ndarray:
+    """[B, S, P*C] -> [B, S*P, C]."""
+    b, s, pc = xp.shape
+    assert pc % c == 0
+    return xp.reshape(b, s * (pc // c), c)
+
+
+def shift_rows(xp: jnp.ndarray, q: int) -> jnp.ndarray:
+    """out[i] = xp[i+q] with zero rows beyond either end."""
+    if q == 0:
+        return xp
+    if q > 0:
+        return jnp.pad(xp, [(0, 0), (0, q), (0, 0)])[:, q:]
+    return jnp.pad(xp, [(0, 0), (-q, 0), (0, 0)])[:, :q]
+
+
+def time_shift(xp: jnp.ndarray, s: int, c: int) -> jnp.ndarray:
+    """Packed time shift: out_time[t] = in_time[t+s] (zeros out of range).
+
+    A shift that is not a multiple of P combines a row shift with a lane
+    rotation: out row i = [xp[i+q] lanes w*C.., xp[i+q+1] lanes ..w*C] where
+    s = q*P + w.
+    """
+    pc = xp.shape[-1]
+    p = pc // c
+    q, w = divmod(s, p)  # python divmod: w in [0, p)
+    if w == 0:
+        return shift_rows(xp, q)
+    a = shift_rows(xp, q)[:, :, w * c :]
+    b = shift_rows(xp, q + 1)[:, :, : w * c]
+    return jnp.concatenate([a, b], axis=-1)
+
+
+# ---- k=3 dilated conv (SAME) on packed rows ---------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _conv3_selector(dilation: int, pack_: int) -> Tuple[np.ndarray, Tuple[int, ...]]:
+    """S[qi, p_in, p_out, tap] for out_time = in_time + tap selection; taps
+    (-d, 0, d). Same construction as ops/blocked_conv.py's selector."""
+    taps = (-dilation, 0, dilation)
+    qs = sorted(
+        {
+            (p_out + t - p_in) // pack_
+            for p_out in range(pack_)
+            for p_in in range(pack_)
+            for t in taps
+            if (p_out + t - p_in) % pack_ == 0
+        }
+    )
+    s = np.zeros((len(qs), pack_, pack_, 3), np.float32)
+    for qi, q in enumerate(qs):
+        for p_out in range(pack_):
+            for ti, t in enumerate(taps):
+                src = p_out + t - q * pack_
+                if 0 <= src < pack_:
+                    s[qi, src, p_out, ti] = 1.0
+    return s, tuple(qs)
+
+
+def conv3_mixing_matrices(
+    kernel: jnp.ndarray, dilation: int, pack_: int
+) -> Tuple[jnp.ndarray, Tuple[int, ...]]:
+    """Mixing matrices M[qi]: [P*Cin, P*Cout] for the packed k=3 dilated conv
+    y_packed = sum_q shift_rows(x_packed, q) @ M[qi]. kernel: [3, Cin, Cout]
+    (lax WIO layout)."""
+    _, cin, cout = kernel.shape
+    s_np, qs = _conv3_selector(dilation, pack_)
+    m = jnp.einsum("qabt,tio->qaibo", jnp.asarray(s_np).astype(kernel.dtype), kernel)
+    return m.reshape(len(qs), pack_ * cin, pack_ * cout), qs
+
+
+def packed_conv3(
+    xp: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None,
+    dilation: int,
+    cin: int,
+) -> jnp.ndarray:
+    """k=3 dilated SAME conv, packed in / packed out.
+
+    xp: [B, S, P*Cin]; kernel: [3, Cin, Cout]; -> [B, S, P*Cout].
+    Equivalent to ``lax.conv_general_dilated(..., rhs_dilation=(d,),
+    padding='SAME')`` on the unpacked tensor (ops/blocked_conv.py parity).
+    """
+    pc = xp.shape[-1]
+    p = pc // cin
+    m, qs = conv3_mixing_matrices(kernel, dilation, p)
+    out = None
+    for qi, q in enumerate(qs):
+        y = jnp.einsum(
+            "bsi,io->bso", shift_rows(xp, q), m[qi],
+            preferred_element_type=jnp.float32,
+        ).astype(xp.dtype)
+        out = y if out is None else out + y
+    if bias is not None:
+        cout = kernel.shape[-1]
+        out = out + jnp.tile(bias, p).astype(out.dtype)
+    return out
+
+
+# ---- 1x1 conv (dense per time step) -----------------------------------------
+
+
+def packed_dense(xp: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray | None,
+                 cin: int) -> jnp.ndarray:
+    """Per-time-step dense [Cin -> Cout] without unpacking: one GEMM against
+    kron(I_P, W). xp: [B, S, P*Cin]; w: [Cin, Cout]."""
+    p = xp.shape[-1] // cin
+    cout = w.shape[-1]
+    bd = jnp.kron(jnp.eye(p, dtype=w.dtype), w)  # [P*Cin, P*Cout]
+    out = jnp.einsum(
+        "bsi,io->bso", xp, bd, preferred_element_type=jnp.float32
+    ).astype(xp.dtype)
+    if bias is not None:
+        out = out + jnp.tile(bias, p).astype(out.dtype)
+    return out
+
+
+# ---- nearest-downsample (x[::f]) --------------------------------------------
+
+
+def packed_downsample(xp: jnp.ndarray, factor: int, c: int) -> jnp.ndarray:
+    """x[:, ::factor] on packed input, packed output (same P).
+
+    Rate S*P -> S*P/factor; output rows repack P consecutive kept samples.
+    """
+    b, s, pc = xp.shape
+    p = pc // c
+    if factor == 1:
+        return xp
+    if factor % p == 0:
+        # keep lane group 0 of every (factor//p)-th row, then repack
+        kept = xp[:, :: factor // p, :c]  # [B, S*P/factor, C]
+        assert kept.shape[1] % p == 0, (kept.shape, p)
+        return pack(kept, p)
+    # factor < p (e.g. f=2, P=4): keep lane groups 0, f, 2f... of each row;
+    # per-row concat keeps time order, so the flat stream stays time-major
+    assert p % factor == 0 and s % factor == 0
+    keep = jnp.concatenate(
+        [xp[:, :, g * c : (g + 1) * c] for g in range(0, p, factor)], axis=-1
+    )  # [B, S, (P/f)*C]
+    return keep.reshape(b, s // factor, p * c)
+
+
+# ---- edge convs (k-tap, tiny channel ends) ----------------------------------
+
+
+def packed_conv_from_flat(
+    a: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None, p: int
+) -> jnp.ndarray:
+    """First conv: [B, T] scalar signal -> packed [B, T/P, P*Cout].
+
+    kernel: [k, 1, Cout] (lax WIO, SAME padding, odd k). Expressed as a few
+    [T/P, P] @ [P, P*Cout] matmuls (shifted packed-input rows against
+    selector-built mixing matrices).
+    """
+    k, one, cout = kernel.shape
+    assert one == 1 and k % 2 == 1
+    half = k // 2
+    b, t = a.shape
+    assert t % p == 0
+    a2 = a.reshape(b, t // p, p)
+    qmin = -((half + p - 1) // p)
+    qmax = (half + p - 1) // p
+    out = None
+    for q in range(qmin, qmax + 1):
+        # M_q[g, p_out*Cout + co] = kernel[tap+half] where tap = q*P + g - p_out
+        m = np.zeros((p, p * cout), np.float32)
+        sel = np.zeros((p, p, k), np.float32)
+        for g in range(p):
+            for p_out in range(p):
+                tap = q * p + g - p_out
+                if -half <= tap <= half:
+                    sel[g, p_out, tap + half] = 1.0
+        mq = jnp.einsum(
+            "gpt,tio->gpio", jnp.asarray(sel, kernel.dtype), kernel
+        ).reshape(p, p * cout)
+        y = jnp.einsum(
+            "bsg,go->bso", shift_rows(a2, q), mq,
+            preferred_element_type=jnp.float32,
+        ).astype(kernel.dtype)
+        out = y if out is None else out + y
+    if bias is not None:
+        out = out + jnp.tile(bias, p).astype(out.dtype)
+    return out
+
+
+def packed_conv_to_flat(
+    xp: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None, cin: int
+) -> jnp.ndarray:
+    """Final conv: packed [B, S, P*Cin] -> [B, S*P] (Cout=1, odd k, SAME)."""
+    k, _, cout = kernel.shape
+    assert cout == 1 and k % 2 == 1
+    half = k // 2
+    b, s, pc = xp.shape
+    p = pc // cin
+    qmin = -((half + p - 1) // p)
+    qmax = (half + p - 1) // p
+    out = None
+    for q in range(qmin, qmax + 1):
+        # M_q[p_in*Cin + ci, p_out] = kernel[tap+half, ci, 0], tap = p_in - p_out - q*P
+        sel = np.zeros((p, p, k), np.float32)
+        for p_in in range(p):
+            for p_out in range(p):
+                tap = q * p + p_in - p_out
+                if -half <= tap <= half:
+                    sel[p_in, p_out, tap + half] = 1.0
+        mq = jnp.einsum(
+            "abt,tio->aibo", jnp.asarray(sel, kernel.dtype), kernel
+        ).reshape(p * cin, p)
+        y = jnp.einsum(
+            "bsi,io->bso", shift_rows(xp, q), mq,
+            preferred_element_type=jnp.float32,
+        ).astype(kernel.dtype)
+        out = y if out is None else out + y
+    if bias is not None:
+        out = out + bias[0].astype(out.dtype)
+    return out.reshape(b, s * p)
+
+
+# ---- ConvTranspose1d (torch semantics), packed output -----------------------
+
+
+def packed_conv_transpose(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None,
+    stride: int,
+    padding: int,
+    output_padding: int,
+    p: int,
+) -> jnp.ndarray:
+    """torch ConvTranspose1d with kernel stored pre-flipped [k, Cin, Cout]
+    (ConvTranspose1dTorch's layout), unpacked input [B, S, Cin] -> packed
+    output [B, S*stride/P, P*Cout].
+
+    Identity used: y[t] = sum_j x[j] @ kernel[u] with u = stride*j - t + pad,
+    pad = k - 1 - padding (the lhs-dilated-conv formulation in
+    models/fastdiff.py:ConvTranspose1dTorch). Computed as an overlap-add of
+    per-sample contributions split into stride-sized half-windows, which are
+    row-major reshape + packed time-shift — no unpacked audio-rate tensor is
+    ever materialised.
+    """
+    k, cin, cout = kernel.shape
+    assert k == 2 * stride, "FastDiff upsamples use kernel_size == 2*stride"
+    b, s, _ = x.shape
+    pad = k - 1 - padding
+    t_out = s * stride  # (S-1)*r - 2*padding + k + output_padding == S*r here
+    # Identity (the lhs-dilated lax formulation in ConvTranspose1dTorch):
+    #   y[t] = sum_u xd[t + u - pad] kernel[u],  xd[stride*j] = x[j]
+    # so x[j] contributes x[j] @ kernel[u] at t = stride*j + pad - u — i.e. in
+    # INCREASING t the kernel is traversed REVERSED. Build per-sample windows
+    # in increasing-t order with the flipped kernel:
+    kf = kernel[::-1]  # v -> t = stride*j + pad - (k-1) + v
+    k2 = kf.transpose(1, 0, 2).reshape(cin, k * cout)
+    contrib = jnp.einsum(
+        "bsi,io->bso", x, k2, preferred_element_type=jnp.float32
+    ).astype(x.dtype)  # [B, S, k*Cout], window start stride*j + pad - (k-1)
+    # overlap-add of stride-sized half-windows; each half is a row-major
+    # reshape to an audio-rate stream, then a packed time shift:
+    #   y[t] = E[t - (pad-k+1)] + F[t - (pad-k+1) - stride]
+    # with pad-k+1 = -padding  =>  shifts s_E = padding, s_F = padding-stride.
+    e = contrib[:, :, : stride * cout].reshape(b, s * stride, cout)
+    f = contrib[:, :, stride * cout :].reshape(b, s * stride, cout)
+    ep = pack(e, p)
+    fp = pack(f, p)
+    y = time_shift(ep, padding, cout)[:, : t_out // p]
+    y = y + time_shift(fp, padding - stride, cout)[:, : t_out // p]
+    if bias is not None:
+        y = y + jnp.tile(bias, p).astype(y.dtype)
+    return y
+
+
+def packed_conv_transpose_packed_in(
+    xp: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None,
+    stride: int,
+    padding: int,
+    output_padding: int,
+    cin: int,
+) -> jnp.ndarray:
+    """Same as :func:`packed_conv_transpose` but with PACKED input
+    [B, S/P, P*Cin] (no unpacked low-rate tensor is materialised). Output is
+    packed at the upsampled rate, same P."""
+    k, _, cout = kernel.shape
+    assert k == 2 * stride
+    b, sp_, pc = xp.shape
+    p = pc // cin
+    s = sp_ * p
+    kf = kernel[::-1]
+    k2 = kf.transpose(1, 0, 2).reshape(cin, k * cout)
+    # per-sample k-long windows, still packed: row holds P samples' windows
+    contrib = packed_dense(xp, k2, None, cin)  # [B, S/P, P*k*Cout]
+    kc = k * cout
+    rc = stride * cout
+    # E half (first stride positions) / F half per sample, lane slices keep
+    # the per-row time order so the flat streams stay time-major
+    e = jnp.concatenate(
+        [contrib[:, :, g * kc : g * kc + rc] for g in range(p)], axis=-1
+    ).reshape(b, s * stride // p, p * cout)
+    f = jnp.concatenate(
+        [contrib[:, :, g * kc + rc : (g + 1) * kc] for g in range(p)], axis=-1
+    ).reshape(b, s * stride // p, p * cout)
+    y = time_shift(e, padding, cout)
+    y = y + time_shift(f, padding - stride, cout)
+    if bias is not None:
+        y = y + jnp.tile(bias, p).astype(y.dtype)
+    return y

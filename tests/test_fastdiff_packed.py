@@ -1,0 +1,49 @@
+"""Packed (space-to-depth + fused Pallas) FastDiff forward vs the linen path
+with identical params (models/fastdiff.py:_packed_forward)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from prodiff_tpu.models.fastdiff import FastDiff
+
+RNG = np.random.default_rng(5)
+
+
+@pytest.mark.parametrize("b,L", [(1, 4), (2, 8)])
+def test_packed_forward_matches_linen(b, L):
+    hop = 256
+    t = L * hop
+    net = FastDiff(cond_channels=16, use_packed=False)
+    net_packed = FastDiff(cond_channels=16, use_packed=True)
+    audio = jnp.asarray(RNG.normal(size=(b, t, 1)).astype(np.float32))
+    cond = jnp.asarray(RNG.normal(size=(b, L, 16)).astype(np.float32))
+    steps = jnp.full((b, 1), 2.5, jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), audio, cond, steps)
+    want = net.apply(params, audio, cond, steps)
+    got = net_packed.apply(params, audio, cond, steps)
+    assert got.shape == want.shape == (b, t, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+
+def test_packed_falls_back_on_odd_length():
+    # L=6 doesn't pack at the smallest pyramid rate -> linen path, same result
+    net = FastDiff(cond_channels=16, use_packed=True)
+    audio = jnp.asarray(RNG.normal(size=(1, 6 * 256, 1)).astype(np.float32))
+    cond = jnp.asarray(RNG.normal(size=(1, 6, 16)).astype(np.float32))
+    steps = jnp.zeros((1, 1))
+    params = net.init(jax.random.PRNGKey(0), audio, cond, steps)
+    out = net.apply(params, audio, cond, steps)
+    assert out.shape == (1, 6 * 256, 1)
+
+
+def test_packed_auto_falls_back_on_unsupported_shape():
+    # inner_channels that doesn't divide 128 -> packed path must not engage
+    net = FastDiff(cond_channels=8, inner_channels=24, use_packed=True)
+    audio = jnp.zeros((1, 512, 1))
+    cond = jnp.zeros((1, 2, 8))
+    steps = jnp.zeros((1, 1))
+    params = net.init(jax.random.PRNGKey(0), audio, cond, steps)
+    out = net.apply(params, audio, cond, steps)
+    assert out.shape == (1, 512, 1)

@@ -1,0 +1,59 @@
+"""Fused UBlock-layer Pallas kernel vs the XLA layer body (interpret mode on
+the CPU rig; the real-TPU path is exercised by bench/profile runs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from prodiff_tpu.models.fastdiff import location_variable_convolution
+from prodiff_tpu.ops.packed import pack, unpack
+from prodiff_tpu.ops.pallas.ublock import ublock_layer_packed
+
+RNG = np.random.default_rng(11)
+
+
+def ref_layer(x, ad, conv_kernel, conv_bias, kmat, lvc_bias, dilation, hop):
+    """The TimeAwareLVCBlock layer body (models/fastdiff.py:218-238)."""
+    xa = x + ad
+    y = jax.nn.leaky_relu(xa, 0.2)
+    y = jax.lax.conv_general_dilated(
+        y, conv_kernel, (1,), "SAME", rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    ) + conv_bias
+    y = jax.nn.leaky_relu(y, 0.2)
+    y = location_variable_convolution(y, kmat, lvc_bias, hop)
+    cin = x.shape[-1]
+    gate, filt = y[..., :cin], y[..., cin:]
+    return xa + jax.nn.sigmoid(gate) * jnp.tanh(filt)
+
+
+@pytest.mark.parametrize(
+    "hop,dilation,L,wpb",
+    [
+        (256, 1, 4, 2),    # final-block scale (small L for test speed)
+        (256, 27, 4, 1),   # max dilation halo
+        (64, 3, 8, 4),     # middle block
+        (8, 9, 32, 16),    # first block (tiny windows)
+    ],
+)
+def test_fused_layer_matches_xla(hop, dilation, L, wpb):
+    cin, b = 32, 2
+    t = L * hop
+    x = jnp.asarray(RNG.normal(size=(b, t, cin)).astype(np.float32))
+    ad = jnp.asarray(RNG.normal(size=(b, t, cin)).astype(np.float32))
+    ck = jnp.asarray(RNG.normal(size=(3, cin, cin)).astype(np.float32)) * 0.2
+    cb = jnp.asarray(RNG.normal(size=(cin,)).astype(np.float32)) * 0.1
+    kmat = jnp.asarray(RNG.normal(size=(b, L, 3 * cin, 2 * cin)).astype(np.float32)) * 0.1
+    lb = jnp.asarray(RNG.normal(size=(b, L, 2 * cin)).astype(np.float32)) * 0.1
+
+    want = ref_layer(x, ad, ck, cb, kmat, lb, dilation, hop)
+    got = unpack(
+        ublock_layer_packed(
+            pack(x, 4), pack(ad, 4), ck, cb, kmat, lb, dilation, hop,
+            wpb=wpb, interpret=True,
+        ),
+        cin,
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)

@@ -1,0 +1,220 @@
+"""Component-level FastDiff timing on the real chip (VERDICT round-2 #2).
+
+``block_until_ready`` doesn't synchronise through the axon relay, so instead
+of an xprof trace each component is timed with bench.py's chained-fori_loop
+methodology (K iterations inside one jit, scalar readback). Usage:
+
+    python tools/profile_fastdiff.py [--b 1 4] [--dtypes f32 bf16] [--parts ...]
+
+Prints one line per (component, B, dtype): ms per iteration.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import bench
+from prodiff_tpu.models.fastdiff import (
+    DiffusionDBlock,
+    FastDiff,
+    KernelPredictor,
+    TimeAwareLVCBlock,
+    location_variable_convolution,
+)
+
+T_MEL, N_MELS, HOP = 512, 80, 256
+T_AUDIO = T_MEL * HOP
+
+
+def measure(fn_builder, label):
+    dt = bench._measure(fn_builder)
+    print(f"{label:55s} {dt * 1000:8.3f} ms")
+    return dt
+
+
+def chain(compute):
+    return bench._chain(compute, jax.random.PRNGKey(0))
+
+
+def full_net(B, dtype, packed=False):
+    net = FastDiff(cond_channels=N_MELS, dtype=dtype, use_packed=packed)
+    params = jax.jit(net.init)(
+        jax.random.PRNGKey(3), jnp.zeros((B, T_AUDIO, 1)),
+        jnp.zeros((B, T_MEL, N_MELS)), jnp.zeros((B, 1)),
+    )
+    cond = jnp.asarray(np.random.default_rng(0).normal(size=(B, T_MEL, N_MELS)), jnp.float32)
+
+    def compute(rng, eps):
+        x = jax.random.normal(rng, (B, T_AUDIO, 1))
+        return net.apply(params, x + eps, cond, jnp.full((B, 1), 3.0))
+
+    return chain(compute)
+
+
+def kernel_predictor(B, dtype):
+    kp = KernelPredictor(conv_in_channels=32, conv_out_channels=64,
+                         conv_layers=4, dtype=dtype)
+    c = jnp.zeros((B, T_MEL, N_MELS + 0), jnp.float32)
+    cond = jnp.asarray(np.random.default_rng(0).normal(size=(B, T_MEL, N_MELS)), jnp.float32)
+    params = jax.jit(kp.init)(jax.random.PRNGKey(0), cond)
+
+    def compute(rng, eps):
+        k, b = kp.apply(params, cond + eps)
+        return k.astype(jnp.float32).sum() + b.astype(jnp.float32).sum()
+
+    return chain(compute)
+
+
+def kp_kernel_conv_only(B, dtype):
+    """Just the 64->24576 k=3 conv (the KP's only real FLOPs)."""
+    h = jnp.asarray(np.random.default_rng(0).normal(size=(B, T_MEL, 64)), jnp.float32)
+    w = jnp.asarray(np.random.default_rng(1).normal(size=(3, 64, 24576)) * 0.05, jnp.float32)
+
+    def compute(rng, eps):
+        y = jax.lax.conv_general_dilated(
+            h + eps, w, (1,), "SAME", dimension_numbers=("NWC", "WIO", "NWC"))
+        return y.sum()
+
+    return chain(compute)
+
+
+def kp_kernel_gemm_only(B, dtype):
+    """Same contraction as kp_kernel_conv_only, spelled as tap-concat + GEMM."""
+    h = jnp.asarray(np.random.default_rng(0).normal(size=(B, T_MEL, 64)), jnp.float32)
+    w = jnp.asarray(np.random.default_rng(1).normal(size=(192, 24576)) * 0.05, jnp.float32)
+
+    def compute(rng, eps):
+        x = h + eps
+        xp = jnp.pad(x, [(0, 0), (1, 1), (0, 0)])
+        taps = jnp.concatenate([xp[:, :-2], xp[:, 1:-1], xp[:, 2:]], axis=2)
+        y = jnp.einsum("btk,ko->bto", taps, w, preferred_element_type=jnp.float32)
+        return y.sum()
+
+    return chain(compute)
+
+
+def kp_residual_stack_only(B, dtype):
+    """The KP's input conv + 6 residual convs at [B, 512, 64]."""
+    rng0 = np.random.default_rng(2)
+    c = jnp.asarray(rng0.normal(size=(B, T_MEL, N_MELS)), jnp.float32)
+    w_in = jnp.asarray(rng0.normal(size=(5, N_MELS, 64)) * 0.1, jnp.float32)
+    ws = [jnp.asarray(rng0.normal(size=(3, 64, 64)) * 0.1, jnp.float32) for _ in range(6)]
+
+    def compute(rng, eps):
+        h = jax.lax.conv_general_dilated(
+            c + eps, w_in, (1,), "SAME", dimension_numbers=("NWC", "WIO", "NWC"))
+        h = jax.nn.leaky_relu(h, 0.1)
+        r = h
+        for w in ws:
+            r = jax.lax.conv_general_dilated(
+                r, w, (1,), "SAME", dimension_numbers=("NWC", "WIO", "NWC"))
+            r = jax.nn.leaky_relu(r, 0.1)
+        return (h + r).sum()
+
+    return chain(compute)
+
+
+def lvc_block(B, dtype, n=2):
+    """TimeAwareLVCBlock n (n=2 = the full-audio-rate hot block)."""
+    ratios = (8, 8, 4)
+    rate_in = T_AUDIO // int(np.prod(ratios[n:]))      # input rate
+    rate_out = rate_in * ratios[n]
+    cond_hop = int(np.prod(ratios[: n + 1]))
+    blk = TimeAwareLVCBlock(
+        in_channels=32, cond_channels=N_MELS, upsample_ratio=ratios[n],
+        cond_hop_length=cond_hop, dtype=dtype,
+    )
+    rng0 = np.random.default_rng(1)
+    x = jnp.asarray(rng0.normal(size=(B, rate_in, 32)), jnp.float32)
+    ad = jnp.asarray(rng0.normal(size=(B, rate_out, 32)), jnp.float32)
+    cond = jnp.asarray(rng0.normal(size=(B, T_MEL, N_MELS)), jnp.float32)
+    emb = jnp.asarray(rng0.normal(size=(B, 512)), jnp.float32)
+    params = jax.jit(blk.init)(jax.random.PRNGKey(0), x, ad, cond, emb)
+
+    def compute(rng, eps):
+        return blk.apply(params, x + eps, ad, cond, emb)
+
+    return chain(compute)
+
+
+def lvc_op_only(B, dtype):
+    """The windowed-GEMM LVC at final-block scale (hop=256), x4 layers."""
+    rng0 = np.random.default_rng(2)
+    x = jnp.asarray(rng0.normal(size=(B, T_AUDIO, 32)), dtype or jnp.float32)
+    kmat = jnp.asarray(rng0.normal(size=(B, T_MEL, 96, 64)), dtype or jnp.float32)
+    bias = jnp.zeros((B, T_MEL, 64), dtype or jnp.float32)
+
+    def compute(rng, eps):
+        out = x + eps
+        acc = jnp.float32(0)
+        for _ in range(4):
+            y = location_variable_convolution(out, kmat, bias, HOP)
+            acc = acc + y.astype(jnp.float32).mean()
+        return acc
+
+    return chain(compute)
+
+
+def dblocks(B, dtype):
+    net_blocks = [
+        DiffusionDBlock(32, f, dtype=dtype, name=f"d{i}")
+        for i, f in enumerate([4, 8, 8])
+    ]
+    rng0 = np.random.default_rng(3)
+    x = jnp.asarray(rng0.normal(size=(B, T_AUDIO, 32)), jnp.float32)
+    plist = []
+    cur = x
+    for blk in net_blocks:
+        plist.append(jax.jit(blk.init)(jax.random.PRNGKey(0), cur))
+        cur = jnp.zeros((B, cur.shape[1] // blk.factor, 32))
+
+    def compute(rng, eps):
+        cur = x + eps
+        for blk, p in zip(net_blocks, plist):
+            cur = blk.apply(p, cur)
+        return cur
+
+    return chain(compute)
+
+
+PARTS = {
+    "full_net": full_net,
+    "full_net_packed": lambda B, d: full_net(B, d, packed=True),
+    "kernel_predictor": kernel_predictor,
+    "kp_kernel_conv_only": kp_kernel_conv_only,
+    "kp_kernel_gemm_only": kp_kernel_gemm_only,
+    "kp_residual_stack_only": kp_residual_stack_only,
+    "lvc_block2": lambda B, d: lvc_block(B, d, 2),
+    "lvc_block1": lambda B, d: lvc_block(B, d, 1),
+    "lvc_block0": lambda B, d: lvc_block(B, d, 0),
+    "lvc_op_x4": lvc_op_only,
+    "dblocks": dblocks,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--b", type=int, nargs="+", default=[1, 4])
+    ap.add_argument("--dtypes", nargs="+", default=["f32"])
+    ap.add_argument("--parts", nargs="+", default=list(PARTS))
+    args = ap.parse_args()
+    for part in args.parts:
+        for b in args.b:
+            for dt in args.dtypes:
+                dtype = {"f32": None, "bf16": jnp.bfloat16}[dt]
+                try:
+                    measure(PARTS[part](b, dtype), f"{part} B={b} {dt}")
+                except Exception as e:
+                    print(f"{part} B={b} {dt}: FAILED {type(e).__name__}: {e}")
+
+
+if __name__ == "__main__":
+    main()
