@@ -274,7 +274,10 @@ class SVSInferHandler:
             note_midi[note_rest] = interp_func(np.where(note_rest)[0])
         return note_midi, note_rest
 
-    def infer(self, segment: dict) -> List[np.ndarray]:
+    def prepare(self, segment: dict) -> dict:
+        """Host-side front end for one segment: phoneme ids, durations ->
+        mel2ph, pitch, mixes, variance curves. Returns unpadded arrays +
+        metadata for :meth:`render_batch`."""
         hp = self.hparams
         lang = segment.get("lang", None)
         ph_text_seq = [
@@ -339,58 +342,110 @@ class SVSInferHandler:
         if hp.get("use_breath_embed", False):
             breath = self._variance_curve(segment, "breath", mel_len, f0_seq, -50.0)
 
-        # pad to buckets so jit programs are reused across segments
-        t_ph_pad = round_up(t_ph, 16)
-        t_mel_pad = round_up(mel_len, self.mel_bucket)
-        ph_p = np.zeros((1, t_ph_pad), np.int32)
-        ph_p[0, :t_ph] = ph_tokens
-        mel2ph_p = np.zeros((1, t_mel_pad), np.int32)
-        mel2ph_p[0, :mel_len] = mel2ph[:mel_len]
-        f0_p = np.zeros((1, t_mel_pad), np.float32)
-        f0_p[0, :mel_len] = f0_seq[:mel_len]
-        lang_p = None
-        if hp["use_lang_id"]:
-            lang_p = np.zeros((1, t_ph_pad), np.int32)
-            lang_p[0, :t_ph] = self.lang_map[lang]
+        return {
+            "ph_tokens": ph_tokens,
+            "t_ph": t_ph,
+            "mel2ph": mel2ph,
+            "mel_len": mel_len,
+            "f0_seq": f0_seq,
+            "lang_id": self.lang_map[lang] if hp["use_lang_id"] else None,
+            "spk_mix_embed": spk_mix_embed,
+            "gender_mix_embed": gender_mix_embed,
+            "voicing": voicing,
+            "breath": breath,
+        }
 
-        def pad_curve(c):
-            if c is None:
-                return None
-            out = np.zeros((1, t_mel_pad), np.float32)
-            out[0, :mel_len] = c[:mel_len]
-            return out
+    def render_batch(self, prepared: List[dict]) -> List[np.ndarray]:
+        """Render several prepared segments: group by padded (T_ph, T_mel)
+        bucket and run ONE acoustic + ONE vocoder dispatch per group (the
+        reference renders strictly one segment per model call,
+        ``handler/infer/handler.py:362-400``; batching fills the chip at
+        serving time). Returns wavs trimmed to true length, in input order."""
+        hp = self.hparams
+        max_b = int(hp.get("infer_batch_size", 8))
+        groups: Dict[tuple, List[int]] = {}
+        for i, p in enumerate(prepared):
+            key = (
+                round_up(p["t_ph"], 16),
+                round_up(p["mel_len"], self.mel_bucket),
+            )
+            groups.setdefault(key, []).append(i)
 
-        start = time.time()
-        mel_out = self._acoustic_fn(
-            self.params, ph_p, mel2ph_p, f0_p, lang_p,
-            spk_mix_embed, gender_mix_embed,
-            pad_curve(voicing), pad_curve(breath),
-            jax.random.PRNGKey(self.hparams.get("seed", 1234)),
-            infer_step=self.infer_step,
-            deterministic=self.deterministic,
-        )
-        mel_out = np.asarray(mel_out)[:, :, :]
-        print(f"Inference Time: {time.time() - start}")
+        wavs: List[Optional[np.ndarray]] = [None] * len(prepared)
+        for (t_ph_pad, t_mel_pad), idxs in groups.items():
+            for chunk in [idxs[i : i + max_b] for i in range(0, len(idxs), max_b)]:
+                batch = [prepared[i] for i in chunk]
+                b = len(batch)
+                ph_p = np.zeros((b, t_ph_pad), np.int32)
+                mel2ph_p = np.zeros((b, t_mel_pad), np.int32)
+                f0_p = np.zeros((b, t_mel_pad), np.float32)
+                lang_p = np.zeros((b, t_ph_pad), np.int32) if hp["use_lang_id"] else None
+                curves = {}
+                for name in ("voicing", "breath"):
+                    if batch[0][name] is not None:
+                        curves[name] = np.zeros((b, t_mel_pad), np.float32)
+                for r, p in enumerate(batch):
+                    ph_p[r, : p["t_ph"]] = p["ph_tokens"]
+                    mel2ph_p[r, : p["mel_len"]] = p["mel2ph"][: p["mel_len"]]
+                    f0_p[r, : p["mel_len"]] = p["f0_seq"][: p["mel_len"]]
+                    if lang_p is not None:
+                        lang_p[r, : p["t_ph"]] = p["lang_id"]
+                    for name, arr in curves.items():
+                        arr[r, : p["mel_len"]] = p[name][: p["mel_len"]]
 
-        # vocode on the padded grid (pad with silence floor), trim after
-        mel_voc = np.full((1, t_mel_pad, mel_out.shape[-1]), MEL_PAD_LOG10, np.float32)
-        mel_voc[0, :mel_len] = mel_out[0, :mel_len]
-        voc_kwargs = {"deterministic": True} if self.deterministic else {}
-        wav = np.asarray(
-            self.vocoder.spec2wav_batch(mel_voc, f0_p, **voc_kwargs)
-        )[0, : mel_len * self.hop_size]
+                def stack_mix(key):
+                    if batch[0][key] is None:
+                        return None
+                    return np.concatenate([p[key] for p in batch], axis=0)
 
-        if self.isolate_aspiration:
-            from prodiff_tpu.separation import extract_harmonic_aperiodic, get_kth_harmonic
-
-            sp, ap = extract_harmonic_aperiodic(wav, hp["vr_ckpt"])
-            if self.isolate_base_harmonic:
-                base = get_kth_harmonic(
-                    0, sp, f0_seq, self.hop_size, hp["win_size"], self.audio_sample_rate
+                start = time.time()
+                mel_out = np.asarray(
+                    self._acoustic_fn(
+                        self.params, ph_p, mel2ph_p, f0_p, lang_p,
+                        stack_mix("spk_mix_embed"), stack_mix("gender_mix_embed"),
+                        curves.get("voicing"), curves.get("breath"),
+                        jax.random.PRNGKey(self.hparams.get("seed", 1234)),
+                        infer_step=self.infer_step,
+                        deterministic=self.deterministic,
+                    )
                 )
-                return [sp - base, ap, base]
-            return [sp, ap]
-        return [wav]
+                # vocode on the padded grid (pad with silence floor), trim after
+                mel_voc = np.full(
+                    (b, t_mel_pad, mel_out.shape[-1]), MEL_PAD_LOG10, np.float32
+                )
+                for r, p in enumerate(batch):
+                    mel_voc[r, : p["mel_len"]] = mel_out[r, : p["mel_len"]]
+                voc_kwargs = {"deterministic": True} if self.deterministic else {}
+                wav_b = np.asarray(
+                    self.vocoder.spec2wav_batch(mel_voc, f0_p, **voc_kwargs)
+                )
+                print(
+                    f"Inference Time: {time.time() - start:.3f}s "
+                    f"({b} segment(s) @ T_mel {t_mel_pad})"
+                )
+                for r, i in enumerate(chunk):
+                    wavs[i] = wav_b[r, : prepared[i]["mel_len"] * self.hop_size]
+        return wavs
+
+    def _postprocess(self, wav: np.ndarray, f0_seq: np.ndarray) -> List[np.ndarray]:
+        """Optional VR harmonic/aperiodic isolation of one rendered wav."""
+        hp = self.hparams
+        if not self.isolate_aspiration:
+            return [wav]
+        from prodiff_tpu.separation import extract_harmonic_aperiodic, get_kth_harmonic
+
+        sp, ap = extract_harmonic_aperiodic(wav, hp["vr_ckpt"])
+        if self.isolate_base_harmonic:
+            base = get_kth_harmonic(
+                0, sp, f0_seq, self.hop_size, hp["win_size"], self.audio_sample_rate
+            )
+            return [sp - base, ap, base]
+        return [sp, ap]
+
+    def infer(self, segment: dict) -> List[np.ndarray]:
+        prepared = self.prepare(segment)
+        wav = self.render_batch([prepared])[0]
+        return self._postprocess(wav, prepared["f0_seq"])
 
     def _variance_curve(self, segment, key, mel_len, f0_seq, default_db):
         if key in segment:
@@ -430,7 +485,19 @@ class SVSInferHandler:
             segment.setdefault("keyshift", int(keyshift))
             segment.setdefault("spk_name", spk_name)
             segment["gender"] = float(gender)
-            out = self.infer(segment)
+        # batched-segment serving: one acoustic + one vocoder dispatch per
+        # (T_ph, T_mel) bucket for the whole song (disable with
+        # batch_segments: false)
+        if self.hparams.get("batch_segments", True):
+            prepared = [self.prepare(seg) for seg in proj]
+            rendered = self.render_batch(prepared)
+            outs = [
+                self._postprocess(wav, p["f0_seq"])
+                for wav, p in zip(rendered, prepared)
+            ]
+        else:
+            outs = [self.infer(seg) for seg in proj]
+        for segment, out in zip(proj, outs):
             offset = [
                 round(segment.get("offset", 0) * self.audio_sample_rate)
                 - total_length[i]

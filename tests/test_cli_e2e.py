@@ -115,6 +115,23 @@ def test_train_then_infer_cli(tmp_path, monkeypatch):
     assert len(wav) >= int(1.2 * sr)
     assert np.isfinite(wav).all()
 
+    # batched-segment serving parity: same-bucket segments rendered in ONE
+    # acoustic+vocoder dispatch must match per-segment renders
+    from prodiff_tpu.infer.handler import SVSInferHandler
+
+    h = SVSInferHandler("t1", deterministic=True)
+    segs = [
+        dict(seg, lang="zh", spk_name="spk0", keyshift=0),
+        dict(seg2, lang="zh", spk_name="spk1", keyshift=0),
+    ]
+    prepared = [h.prepare(s) for s in segs]
+    batched = h.render_batch(prepared)
+    singles = [h.render_batch([p])[0] for p in prepared]
+    assert len(batched) == 2
+    for got, want in zip(batched, singles):
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
 
 @pytest.mark.slow
 def test_vocode_wav2wav_cli(tmp_path, monkeypatch):

@@ -163,6 +163,57 @@ def lvc_op_only(B, dtype):
     return chain(compute)
 
 
+def fused_layers_only(B, dtype, wpb=None):
+    """4 chained fused UBlock layers at final-block scale (the pallas path)."""
+    from prodiff_tpu.ops.packed import pack
+    from prodiff_tpu.ops.pallas.ublock import ublock_layer_packed
+
+    rng0 = np.random.default_rng(4)
+    x = jnp.asarray(rng0.normal(size=(B, T_AUDIO // 4, 128)), jnp.float32)
+    ad = jnp.asarray(rng0.normal(size=(B, T_AUDIO // 4, 128)), jnp.float32)
+    cks = [jnp.asarray(rng0.normal(size=(3, 32, 32)) * 0.1, jnp.float32) for _ in range(4)]
+    cb = jnp.zeros((32,), jnp.float32)
+    kmat = jnp.asarray(rng0.normal(size=(B, T_MEL, 96, 64)) * 0.1, jnp.float32)
+    lb = jnp.zeros((B, T_MEL, 64), jnp.float32)
+
+    def compute(rng, eps):
+        cur = x + eps
+        for i in range(4):
+            cur = ublock_layer_packed(
+                cur, ad, cks[i], cb, kmat, lb, dilation=3 ** i, hop=HOP, wpb=wpb
+            )
+        return cur
+
+    return chain(compute)
+
+
+def xla_layers_only(B, dtype):
+    """The same 4 layers in the linen/XLA formulation (unpacked [T, 32])."""
+    from prodiff_tpu.models.fastdiff import location_variable_convolution
+
+    rng0 = np.random.default_rng(4)
+    x = jnp.asarray(rng0.normal(size=(B, T_AUDIO, 32)), jnp.float32)
+    ad = jnp.asarray(rng0.normal(size=(B, T_AUDIO, 32)), jnp.float32)
+    cks = [jnp.asarray(rng0.normal(size=(3, 32, 32)) * 0.1, jnp.float32) for _ in range(4)]
+    kmat = jnp.asarray(rng0.normal(size=(B, T_MEL, 96, 64)) * 0.1, jnp.float32)
+    lb = jnp.zeros((B, T_MEL, 64), jnp.float32)
+
+    def compute(rng, eps):
+        cur = x + eps
+        for i in range(4):
+            cur = cur + ad
+            y = jax.nn.leaky_relu(cur, 0.2)
+            y = jax.lax.conv_general_dilated(
+                y, cks[i], (1,), "SAME", rhs_dilation=(3 ** i,),
+                dimension_numbers=("NWC", "WIO", "NWC"))
+            y = jax.nn.leaky_relu(y, 0.2)
+            y = location_variable_convolution(y, kmat, lb, HOP)
+            cur = cur + jax.nn.sigmoid(y[..., :32]) * jnp.tanh(y[..., 32:])
+        return cur
+
+    return chain(compute)
+
+
 def dblocks(B, dtype):
     net_blocks = [
         DiffusionDBlock(32, f, dtype=dtype, name=f"d{i}")
@@ -197,6 +248,9 @@ PARTS = {
     "lvc_block0": lambda B, d: lvc_block(B, d, 0),
     "lvc_op_x4": lvc_op_only,
     "dblocks": dblocks,
+    "fused_layers": fused_layers_only,
+    "fused_layers_w32": lambda B, d: fused_layers_only(B, d, wpb=32),
+    "xla_layers": xla_layers_only,
 }
 
 
