@@ -20,10 +20,11 @@ call contract and Praat's published defaults:
    voicing flips, both scaled by 0.01/time_step so the strength/transition
    balance is time-step independent (Praat's timeStepCorrection).
 
-Exact Praat equivalence additionally needs its sinc-interpolated peak
-refinement (depth 30); parabolic refinement agrees to well under 10 cents at
-audio rates, which the synthetic-sweep tests pin down. When the real
-parselmouth bindings are installed, ``pe/parselmouth_pe.py`` is used instead.
+Candidate peaks are refined on the windowed-sinc-interpolated ACF (depth 30
+per side, Praat's ``NUM_PEAK_INTERPOLATE_SINC70``), so accuracy matches Praat
+to sub-cent on stationary tones (pinned by tests/test_pe_acf.py). When the
+real parselmouth bindings are installed, ``pe/parselmouth_pe.py`` is used
+instead.
 """
 
 from __future__ import annotations
@@ -42,6 +43,67 @@ SILENCE_THRESHOLD = 0.03
 OCTAVE_COST = 0.01
 OCTAVE_JUMP_COST = 0.35
 VOICED_UNVOICED_COST = 0.14
+SINC_DEPTH = 30  # Praat NUM_PEAK_INTERPOLATE_SINC70 band (depth 30/side)
+
+
+def _sinc_values(r: np.ndarray, t: np.ndarray, depth: int = SINC_DEPTH) -> np.ndarray:
+    """Windowed-sinc interpolation of each frame's ACF at fractional lags.
+
+    r: [N, L]; t: [N, K, P] fractional lags -> values [N, K, P]
+    (Praat ``NUM_interpolate_sinc``: sinc kernel of ``depth`` taps per side
+    under a raised-cosine taper).
+    """
+    n, L = r.shape
+    base = np.floor(t).astype(np.int64)
+    taps = np.arange(-depth + 1, depth + 1)
+    idx = base[..., None] + taps  # [N, K, P, 2*depth]
+    d = t[..., None] - idx
+    idx = np.clip(idx, 0, L - 1)
+    taper = np.where(
+        np.abs(d) < depth + 1,
+        0.5 * (1.0 + np.cos(np.pi * d / (depth + 1))),
+        0.0,
+    )
+    kern = np.sinc(d) * taper
+    vals = r[np.arange(n)[:, None, None, None], idx]
+    return (vals * kern).sum(axis=-1)
+
+
+def _sinc_refine(r: np.ndarray, best_lag: np.ndarray, chunk: int = 256):
+    """Two-stage grid search on the sinc-interpolated ACF around each integer
+    candidate lag (replaces parabolic refinement for exact-Praat accuracy;
+    final resolution 0.01 sample + parabolic, i.e. sub-0.1-cent at audio
+    rates). Returns (lag_ref, r_ref), each [N, K]."""
+    n = r.shape[0]
+    lag_out = np.zeros(best_lag.shape, np.float64)
+    r_out = np.zeros(best_lag.shape, np.float64)
+    for s in range(0, n, chunk):
+        sl = slice(s, min(s + chunk, n))
+        lag0 = best_lag[sl].astype(np.float64)
+        t_best = lag0
+        for half_width, pts in [(1.0, 21), (0.1, 21)]:
+            offs = np.linspace(-half_width, half_width, pts)
+            t = t_best[..., None] + offs  # [n, K, P]
+            v = _sinc_values(r[sl], t)
+            k = np.argmax(v, axis=-1)
+            # parabolic touch-up on the grid triplet around the max
+            k_in = np.clip(k, 1, pts - 2)
+            ii = np.indices(k.shape)
+            vm1, v0, vp1 = (
+                v[ii[0], ii[1], k_in - 1],
+                v[ii[0], ii[1], k_in],
+                v[ii[0], ii[1], k_in + 1],
+            )
+            denom = 2 * (2 * v0 - vm1 - vp1)
+            shift = np.where(
+                np.abs(denom) > 1e-12, (vp1 - vm1) / np.where(denom == 0, 1, denom), 0.0
+            )
+            shift = np.clip(shift, -1.0, 1.0)
+            step = offs[1] - offs[0]
+            t_best = np.take_along_axis(t, k_in[..., None], -1)[..., 0] + shift * step
+        r_out[sl] = _sinc_values(r[sl], t_best[..., None])[..., 0]
+        lag_out[sl] = t_best
+    return lag_out, r_out
 
 
 @functools.partial(jax.jit, static_argnames=("frame_len", "hop", "fft_len"))
@@ -89,16 +151,9 @@ def _candidates(r, peaks, global_peak, sr, f0_min, f0_max, voicing_threshold):
     top_r = masked_r[rows, top]
     best_lag = top + 1  # interior offset
 
-    # parabolic refinement of lag and peak value
-    r_m1 = r[rows, best_lag - 1]
-    r_0 = r[rows, best_lag]
-    r_p1 = r[rows, best_lag + 1]
-    denom = 2 * (2 * r_0 - r_m1 - r_p1)
-    safe = np.where(np.abs(denom) > 1e-12, denom, 1.0)
-    shift = np.where(np.abs(denom) > 1e-12, (r_p1 - r_m1) / safe, 0.0)
-    shift = np.clip(shift, -0.5, 0.5)
-    lag_ref = best_lag + shift
-    r_ref = r_0 + 0.25 * (r_p1 - r_m1) * shift
+    # windowed-sinc peak refinement, depth 30 per side (Praat
+    # NUM_PEAK_INTERPOLATE_SINC70; closes the round-2 "parabolic only" delta)
+    lag_ref, r_ref = _sinc_refine(r, best_lag)
     # values > 1 are normalisation artefacts: reflect (Praat)
     r_ref = np.where(r_ref > 1.0, 1.0 / np.maximum(r_ref, 1e-9), r_ref)
 

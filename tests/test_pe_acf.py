@@ -39,7 +39,9 @@ def test_pure_tone_accuracy():
         mid = f0[3:-3]
         assert (mid > 0).mean() > 0.95, f"{f} Hz mostly voiced"
         err = _cents(mid[mid > 0], f)
-        assert np.median(err) < 5, f"{f} Hz: median {np.median(err):.2f} cents"
+        # sinc-refined candidates (depth 30): sub-cent on stationary tones
+        # (parabolic-only refinement measured 2-5 cents here)
+        assert np.median(err) < 1, f"{f} Hz: median {np.median(err):.2f} cents"
 
 
 def test_glide_tracks_frequency():
@@ -94,7 +96,7 @@ def test_voicing_on_silence_and_noise():
     assert (f0[2 : n_sil - 2] == 0).all(), "silence must be unvoiced"
     tone_f0 = f0[n_sil + 2 : n_sil + n_tone - 2]
     assert (tone_f0 > 0).mean() > 0.9
-    assert np.median(_cents(tone_f0[tone_f0 > 0], 220.0)) < 5
+    assert np.median(_cents(tone_f0[tone_f0 > 0], 220.0)) < 1
     assert (f0[n_sil + n_tone + 2 :] == 0).mean() > 0.8, "noise mostly unvoiced"
 
 
