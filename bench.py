@@ -64,7 +64,7 @@ def _measure(make_loop, want_flops=False):
         except Exception:
             pass
 
-    def best_of(fn, n=3):
+    def best_of(fn, n=5):
         float(np.asarray(fn()))  # compile (no-op if AOT-compiled above)
         best = float("inf")
         for _ in range(n):

@@ -326,6 +326,14 @@ class FastDiff(nn.Module):
 # ---- packed (space-to-depth) execution path ---------------------------------
 
 
+# LVC blocks with cond_hop >= this run as fused Pallas layers; smaller hops
+# (too-small per-window GEMMs) take the XLA einsum path at low audio rates
+_FUSED_MIN_HOP = 128
+# diagnostic knob (tools/profile_fastdiff.py): run only the first N LVC
+# blocks' layer loops (upsamples still run so shapes stay correct)
+_MAX_LVC_BLOCKS = 3
+
+
 def _packed_forward(net: "FastDiff", audio, c, diffusion_steps):
     """Whole-net forward on the packed [B, T/P, 128] trunk.
 
@@ -398,7 +406,9 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps):
             stride=r, padding=r // 2 + r % 2, output_padding=r % 2, cin=cin,
         )
         adp = downsampled[n_blocks - 1 - n]
-        if cond_hop >= 128:
+        if n >= _MAX_LVC_BLOCKS:
+            continue
+        if cond_hop >= _FUSED_MIN_HOP:
             # audio-rate block: fused Pallas layers on the packed trunk
             for i in range(net.lvc_layers_each_block):
                 xp = ublock_layer_packed(

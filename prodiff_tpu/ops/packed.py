@@ -19,7 +19,7 @@ DBlocks), ``FastDiff_model.py`` (pyramid wiring).
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

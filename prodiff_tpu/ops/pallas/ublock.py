@@ -29,9 +29,6 @@ slices in VMEM).
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -106,23 +103,50 @@ def ublock_layer_packed(
 
     cb_row = jnp.tile(conv_bias, p)[None, :]  # [1, P*C]
 
+    nblk_total = nblk
+
     def kernel(x_hbm, ad_hbm, mq_ref, cb_ref, km_ref, lb_ref, out_ref,
                xs, ads, sem):
         bi = pl.program_id(0)
         n = pl.program_id(1)
-        r0 = n * rows  # start row in the PADDED array
-        cp_x = pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(r0, rows + 2 * halo)], xs, sem.at[0]
-        )
-        cp_ad = pltpu.make_async_copy(
-            ad_hbm.at[bi, pl.ds(r0, rows + 2 * halo)], ads, sem.at[1]
-        )
-        cp_x.start()
-        cp_ad.start()
-        cp_x.wait()
-        cp_ad.wait()
 
-        xa = xs[...] + ads[...]
+        def dma_pair(slot, blk, bb):
+            r0 = blk * rows  # start row in the PADDED array
+            return (
+                pltpu.make_async_copy(
+                    x_hbm.at[bb, pl.ds(r0, rows + 2 * halo)], xs.at[slot],
+                    sem.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    ad_hbm.at[bb, pl.ds(r0, rows + 2 * halo)], ads.at[slot],
+                    sem.at[slot, 1],
+                ),
+            )
+
+        # double-buffered halo DMA: prefetch the next global block (wrapping
+        # into the next batch row) while computing this one; slot parity runs
+        # on the GLOBAL step counter so odd nblk keeps slots consistent
+        g = bi * nblk_total + n
+
+        @pl.when(g == 0)
+        def _():
+            for cp in dma_pair(0, 0, 0):
+                cp.start()
+
+        g1 = g + 1
+        nxt_blk = g1 % nblk_total
+        nxt_bi = g1 // nblk_total
+
+        @pl.when(g1 < pl.num_programs(0) * nblk_total)
+        def _():
+            for cp in dma_pair(g1 % 2, nxt_blk, nxt_bi):
+                cp.start()
+
+        slot = g % 2
+        for cp in dma_pair(slot, n, bi):
+            cp.wait()
+
+        xa = xs[slot] + ads[slot]
         ya = _leaky(xa)
         # conv over [rows + 2] rows (1 extra row each side for the LVC taps):
         # output row r (relative, r in [-1, rows+1)) reads ya[halo + r + q]
@@ -220,9 +244,9 @@ def ublock_layer_packed(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, s, pc), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((rows + 2 * halo, pc), jnp.float32),
-            pltpu.VMEM((rows + 2 * halo, pc), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, rows + 2 * halo, pc), jnp.float32),
+            pltpu.VMEM((2, rows + 2 * halo, pc), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * s * pc * nq * pc + 2 * b * L * hop * kc * c2,

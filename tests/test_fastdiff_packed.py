@@ -27,6 +27,39 @@ def test_packed_forward_matches_linen(b, L):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
 
 
+def test_packed_sampling_matches_linen():
+    """Full 4-step reverse diffusion with injected noise: packed vs linen."""
+    from prodiff_tpu.models.fastdiff import (
+        compute_hyperparams_given_schedule,
+        prepare_inference_schedule,
+        sampling_given_noise_schedule,
+    )
+    from prodiff_tpu.vocoders.fastdiff import NOISE_SCHEDULES
+
+    b, L, hop = 1, 4, 256
+    t = L * hop
+    net = FastDiff(cond_channels=16, use_packed=False)
+    net_p = FastDiff(cond_channels=16, use_packed=True)
+    audio0 = jnp.zeros((b, t, 1))
+    cond = jnp.asarray(RNG.normal(size=(b, L, 16)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), audio0, cond, jnp.zeros((b, 1)))
+    dh = compute_hyperparams_given_schedule(np.linspace(1e-6, 0.01, 1000))
+    bi, ai, si, steps = prepare_inference_schedule(NOISE_SCHEDULES[4], dh["alpha"])
+    init = jnp.asarray(RNG.normal(size=(b, t, 1)).astype(np.float32))
+    step_n = jnp.asarray(RNG.normal(size=(len(steps), b, t, 1)).astype(np.float32))
+
+    def run(module):
+        return sampling_given_noise_schedule(
+            lambda p, x, c, tt: module.apply(p, x, c, tt),
+            params, jax.random.PRNGKey(1), t, cond, bi, ai, si, steps,
+            init_noise=init, step_noises=step_n,
+        )
+
+    want = np.asarray(run(net))
+    got = np.asarray(run(net_p))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 def test_packed_falls_back_on_odd_length():
     # L=6 doesn't pack at the smallest pyramid rate -> linen path, same result
     net = FastDiff(cond_channels=16, use_packed=True)

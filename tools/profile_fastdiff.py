@@ -44,7 +44,12 @@ def chain(compute):
     return bench._chain(compute, jax.random.PRNGKey(0))
 
 
-def full_net(B, dtype, packed=False):
+def full_net(B, dtype, packed=False, fused_min_hop=None, max_blocks=None):
+    from prodiff_tpu.models import fastdiff as fd_mod
+
+    if fused_min_hop is not None:
+        fd_mod._FUSED_MIN_HOP = fused_min_hop
+    fd_mod._MAX_LVC_BLOCKS = 3 if max_blocks is None else max_blocks
     net = FastDiff(cond_channels=N_MELS, dtype=dtype, use_packed=packed)
     params = jax.jit(net.init)(
         jax.random.PRNGKey(3), jnp.zeros((B, T_AUDIO, 1)),
@@ -214,6 +219,96 @@ def xla_layers_only(B, dtype):
     return chain(compute)
 
 
+def packed_edges(B, dtype, which="first"):
+    """Packed pyramid boundary ops in isolation."""
+    from prodiff_tpu.ops import packed as pk
+
+    rng0 = np.random.default_rng(5)
+    if which == "first":
+        a = jnp.asarray(rng0.normal(size=(B, T_AUDIO)), jnp.float32)
+        k = jnp.asarray(rng0.normal(size=(7, 1, 32)) * 0.1, jnp.float32)
+        bias = jnp.zeros((32,), jnp.float32)
+
+        def compute(rng, eps):
+            return pk.packed_conv_from_flat(a + eps, k, bias, 4)
+
+    elif which == "final":
+        xp = jnp.asarray(rng0.normal(size=(B, T_AUDIO // 4, 128)), jnp.float32)
+        k = jnp.asarray(rng0.normal(size=(7, 32, 1)) * 0.1, jnp.float32)
+        bias = jnp.zeros((1,), jnp.float32)
+
+        def compute(rng, eps):
+            return pk.packed_conv_to_flat(xp + eps, k, bias, 32)
+
+    elif which == "convt":
+        xp = jnp.asarray(rng0.normal(size=(B, T_AUDIO // 16, 128)), jnp.float32)
+        k = jnp.asarray(rng0.normal(size=(8, 32, 32)) * 0.1, jnp.float32)
+        bias = jnp.zeros((32,), jnp.float32)
+
+        def compute(rng, eps):
+            return pk.packed_conv_transpose_packed_in(
+                xp + eps, k, bias, stride=4, padding=2, output_padding=0, cin=32)
+
+    elif which == "dblock":
+        xp = jnp.asarray(rng0.normal(size=(B, T_AUDIO // 4, 128)), jnp.float32)
+        ks = [jnp.asarray(rng0.normal(size=(3, 32, 32)) * 0.1, jnp.float32) for _ in range(3)]
+        kr = jnp.asarray(rng0.normal(size=(32, 32)) * 0.1, jnp.float32)
+        bias = jnp.zeros((32,), jnp.float32)
+
+        def compute(rng, eps):
+            down = pk.packed_downsample(xp + eps, 4, 32)
+            res = pk.packed_dense(down, kr, bias, 32)
+            h = down
+            for j, d in enumerate([1, 2, 4]):
+                h = jax.nn.leaky_relu(h, 0.2)
+                h = pk.packed_conv3(h, ks[j], bias, d, 32)
+            return h + res
+
+    elif which == "downsample_unpacked":
+        x = jnp.asarray(rng0.normal(size=(B, T_AUDIO, 32)), jnp.float32)
+
+        def compute(rng, eps):
+            y = x + eps
+            return y[:, ::4] * 2.0
+
+    elif which == "bconv_unpacked":
+        from prodiff_tpu.ops.blocked_conv import blocked_dilated_conv
+
+        x = jnp.asarray(rng0.normal(size=(B, T_AUDIO // 4, 32)), jnp.float32)
+        ks = [jnp.asarray(rng0.normal(size=(3, 32, 32)) * 0.1, jnp.float32) for _ in range(3)]
+
+        def compute(rng, eps):
+            h = x + eps
+            for j, d in enumerate([1, 2, 4]):
+                h = blocked_dilated_conv(h, ks[j], dilation=d)
+            return h
+
+    elif which == "block1_xla":
+        from prodiff_tpu.models.fastdiff import location_variable_convolution
+
+        xp = jnp.asarray(rng0.normal(size=(B, T_AUDIO // 16, 128)), jnp.float32)
+        adp = jnp.asarray(rng0.normal(size=(B, T_AUDIO // 16, 128)), jnp.float32)
+        cks = [jnp.asarray(rng0.normal(size=(3, 32, 32)) * 0.1, jnp.float32) for _ in range(4)]
+        kmat = jnp.asarray(rng0.normal(size=(B, T_MEL, 96, 64)) * 0.1, jnp.float32)
+        lb = jnp.zeros((B, T_MEL, 64), jnp.float32)
+
+        def compute(rng, eps):
+            x = pk.unpack(xp + eps, 32)
+            ad = pk.unpack(adp, 32)
+            for i in range(4):
+                x = x + ad
+                y = jax.nn.leaky_relu(x, 0.2)
+                y = jax.lax.conv_general_dilated(
+                    y, cks[i], (1,), "SAME", rhs_dilation=(3 ** i,),
+                    dimension_numbers=("NWC", "WIO", "NWC"))
+                y = jax.nn.leaky_relu(y, 0.2)
+                y = location_variable_convolution(y, kmat, lb, 64)
+                x = x + jax.nn.sigmoid(y[..., :32]) * jnp.tanh(y[..., 32:])
+            return pk.pack(x, 4)
+
+    return chain(compute)
+
+
 def dblocks(B, dtype):
     net_blocks = [
         DiffusionDBlock(32, f, dtype=dtype, name=f"d{i}")
@@ -239,6 +334,11 @@ def dblocks(B, dtype):
 PARTS = {
     "full_net": full_net,
     "full_net_packed": lambda B, d: full_net(B, d, packed=True),
+    "full_net_packed_noublock": lambda B, d: full_net(B, d, packed=True, fused_min_hop=10**9),
+    "full_net_packed_allfused": lambda B, d: full_net(B, d, packed=True, fused_min_hop=1),
+    "packed_0blocks": lambda B, d: full_net(B, d, packed=True, max_blocks=0),
+    "packed_1block": lambda B, d: full_net(B, d, packed=True, max_blocks=1),
+    "packed_2blocks": lambda B, d: full_net(B, d, packed=True, max_blocks=2),
     "kernel_predictor": kernel_predictor,
     "kp_kernel_conv_only": kp_kernel_conv_only,
     "kp_kernel_gemm_only": kp_kernel_gemm_only,
@@ -251,6 +351,13 @@ PARTS = {
     "fused_layers": fused_layers_only,
     "fused_layers_w32": lambda B, d: fused_layers_only(B, d, wpb=32),
     "xla_layers": xla_layers_only,
+    "pk_first": lambda B, d: packed_edges(B, d, "first"),
+    "pk_final": lambda B, d: packed_edges(B, d, "final"),
+    "pk_convt": lambda B, d: packed_edges(B, d, "convt"),
+    "pk_dblock": lambda B, d: packed_edges(B, d, "dblock"),
+    "pk_block1_xla": lambda B, d: packed_edges(B, d, "block1_xla"),
+    "ds_unpacked": lambda B, d: packed_edges(B, d, "downsample_unpacked"),
+    "bconv_unpacked": lambda B, d: packed_edges(B, d, "bconv_unpacked"),
 }
 
 
