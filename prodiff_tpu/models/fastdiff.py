@@ -274,9 +274,12 @@ class FastDiff(nn.Module):
         diffusion_steps: [B, 1] -> epsilon [B, T, 1]."""
         use_packed = self.use_packed
         if use_packed is None:
-            # auto: off until the fused kernel is validated on real hardware
-            # (opt-in via use_packed=True / the fastdiff_packed config key)
-            use_packed = False
+            # auto: packed trunk on TPU backends (measured v5e: 1.31x at B=1,
+            # 3.3x at B=4 vs the linen path). CPU keeps linen — the fused
+            # UBlock kernel would run in interpret mode there. NOTE the packed
+            # path is inference-only (no VJP through the fused kernel); pass
+            # use_packed=False / fastdiff_packed: false to force linen.
+            use_packed = jax.devices()[0].platform in ("tpu", "axon")
         if (
             use_packed
             and not self.is_initializing()
@@ -329,9 +332,16 @@ class FastDiff(nn.Module):
 # LVC blocks with cond_hop >= this run as fused Pallas layers; smaller hops
 # (too-small per-window GEMMs) take the XLA einsum path at low audio rates
 _FUSED_MIN_HOP = 128
-# diagnostic knob (tools/profile_fastdiff.py): run only the first N LVC
-# blocks' layer loops (upsamples still run so shapes stay correct)
+# diagnostic knobs (tools/profile_fastdiff.py): run only the first N LVC
+# blocks' layer loops (upsamples still run so shapes stay correct); skip
+# dblock convs / upsample convTs (identity-ish substitutions)
 _MAX_LVC_BLOCKS = 3
+_SKIP_DBLOCK_CONVS = False
+_SKIP_UPSAMPLE = False
+_SKIP_KP = False
+_SKIP_FIRST = False
+_SKIP_FINAL = False
+_SKIP_RESIDUAL_DENSE = False
 
 
 def _packed_forward(net: "FastDiff", audio, c, diffusion_steps):
@@ -359,12 +369,17 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps):
     emb = swish(dense("fc_t1", emb))
     emb = swish(dense("fc_t2", emb))
 
-    xp = pk.packed_conv_from_flat(
-        audio[..., 0],
-        params["first_audio_conv"]["kernel"],
-        params["first_audio_conv"]["bias"],
-        p,
-    )
+    if _SKIP_FIRST:
+        xp = jnp.broadcast_to(
+            audio[:, ::p, :1].reshape(b, -1, 1), (b, audio.shape[1] // p, 128)
+        ) * 0.01
+    else:
+        xp = pk.packed_conv_from_flat(
+            audio[..., 0],
+            params["first_audio_conv"]["kernel"],
+            params["first_audio_conv"]["bias"],
+            p,
+        )
 
     n_blocks = len(net.upsample_ratios)
     downsampled = []
@@ -373,15 +388,19 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps):
         dp = params[f"downsample_{i}"]
         factor = net.upsample_ratios[n_blocks - i - 1]
         down = pk.packed_downsample(xp, factor, cin)
-        residual = pk.packed_dense(
-            down, dp["residual_dense"]["kernel"][0], dp["residual_dense"]["bias"], cin
-        )
-        h = down
-        for j, d in enumerate([1, 2, 4]):
-            h = jax.nn.leaky_relu(h, 0.2)
-            h = pk.packed_conv3(
-                h, dp[f"conv_{j}"]["kernel"], dp[f"conv_{j}"]["bias"], d, cin
+        if _SKIP_RESIDUAL_DENSE:
+            residual = down
+        else:
+            residual = pk.packed_dense(
+                down, dp["residual_dense"]["kernel"][0], dp["residual_dense"]["bias"], cin
             )
+        h = down
+        if not _SKIP_DBLOCK_CONVS:
+            for j, d in enumerate([1, 2, 4]):
+                h = jax.nn.leaky_relu(h, 0.2)
+                h = pk.packed_conv3(
+                    h, dp[f"conv_{j}"]["kernel"], dp[f"conv_{j}"]["bias"], d, cin
+                )
         xp = h + residual
 
     cond_hop = 1
@@ -399,12 +418,23 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps):
             hidden_channels=net.kpnet_hidden_channels,
             conv_size=net.kpnet_conv_size,
         )
-        kernels, kbias = kp.apply({"params": bp["kernel_predictor"]}, condition)
+        if _SKIP_KP:
+            shapes = jax.eval_shape(
+                lambda c_: kp.apply({"params": bp["kernel_predictor"]}, c_), condition
+            )
+            kernels = jnp.zeros(shapes[0].shape, shapes[0].dtype)
+            kbias = jnp.zeros(shapes[1].shape, shapes[1].dtype)
+        else:
+            kernels, kbias = kp.apply({"params": bp["kernel_predictor"]}, condition)
         xp = jax.nn.leaky_relu(xp, 0.2)
-        xp = pk.packed_conv_transpose_packed_in(
-            xp, bp["upsample"]["kernel"], bp["upsample"]["bias"],
-            stride=r, padding=r // 2 + r % 2, output_padding=r % 2, cin=cin,
-        )
+        if _SKIP_UPSAMPLE:
+            # cheap repeat-upsample stand-in (diagnostics only)
+            xp = jnp.repeat(xp, r, axis=1)
+        else:
+            xp = pk.packed_conv_transpose_packed_in(
+                xp, bp["upsample"]["kernel"], bp["upsample"]["bias"],
+                stride=r, padding=r // 2 + r % 2, output_padding=r % 2, cin=cin,
+            )
         adp = downsampled[n_blocks - 1 - n]
         if n >= _MAX_LVC_BLOCKS:
             continue
@@ -439,9 +469,12 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps):
                 x = x + jax.nn.sigmoid(gate) * jnp.tanh(filt)
             xp = pk.pack(x, p)
 
-    out = pk.packed_conv_to_flat(
-        xp, params["final_conv"]["kernel"], params["final_conv"]["bias"], cin
-    )
+    if _SKIP_FINAL:
+        out = xp.sum(axis=-1)
+    else:
+        out = pk.packed_conv_to_flat(
+            xp, params["final_conv"]["kernel"], params["final_conv"]["bias"], cin
+        )
     return out[..., None].astype(jnp.float32)
 
 

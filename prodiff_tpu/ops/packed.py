@@ -117,19 +117,31 @@ def packed_conv3(
     xp: [B, S, P*Cin]; kernel: [3, Cin, Cout]; -> [B, S, P*Cout].
     Equivalent to ``lax.conv_general_dilated(..., rhs_dilation=(d,),
     padding='SAME')`` on the unpacked tensor (ops/blocked_conv.py parity).
+
+    Emitted as ONE row-space convolution against the selector-built mixing
+    kernel [n_taps, P*Cin, P*Cout] — a shifted-matmul loop (one pad + einsum
+    per row offset) leaves dozens of unfused pad/add ops in the TPU HLO and
+    goes pure-traffic-bound (round-3 finding).
     """
     pc = xp.shape[-1]
     p = pc // cin
+    cout = kernel.shape[-1]
     m, qs = conv3_mixing_matrices(kernel, dilation, p)
-    out = None
-    for qi, q in enumerate(qs):
-        y = jnp.einsum(
-            "bsi,io->bso", shift_rows(xp, q), m[qi],
-            preferred_element_type=jnp.float32,
-        ).astype(xp.dtype)
-        out = y if out is None else out + y
+    qmin, qmax = min(qs), max(qs)
+    # dense contiguous tap stack (missing offsets get zero matrices)
+    taps = []
+    for q in range(qmin, qmax + 1):
+        if q in qs:
+            taps.append(m[qs.index(q)])
+        else:
+            taps.append(jnp.zeros((p * cin, p * cout), m.dtype))
+    kern = jnp.stack(taps, axis=0)  # [nq, P*Cin, P*Cout]
+    out = jax.lax.conv_general_dilated(
+        xp.astype(kern.dtype), kern, (1,), [(-qmin, qmax)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(xp.dtype)
     if bias is not None:
-        cout = kernel.shape[-1]
         out = out + jnp.tile(bias, p).astype(out.dtype)
     return out
 
@@ -155,27 +167,38 @@ def packed_dense(xp: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray | None,
 # ---- nearest-downsample (x[::f]) --------------------------------------------
 
 
+@functools.lru_cache(maxsize=64)
+def _downsample_selector(factor: int, p: int, c: int) -> np.ndarray:
+    """0/1 matrix [factor*P*C, P*C]: output lane group g_out picks local time
+    tau = g_out*factor (row offset tau//P, lane group tau%P), identity over C."""
+    sel = np.zeros((factor * p * c, p * c), np.float32)
+    for g_out in range(p):
+        tau = g_out * factor
+        for ci in range(c):
+            sel[tau * c + ci, g_out * c + ci] = 1.0
+    return sel
+
+
 def packed_downsample(xp: jnp.ndarray, factor: int, c: int) -> jnp.ndarray:
     """x[:, ::factor] on packed input, packed output (same P).
 
-    Rate S*P -> S*P/factor; output rows repack P consecutive kept samples.
+    Every output row draws from exactly ``factor`` consecutive input rows
+    (t_in for output row j spans [j*f*P, (j+1)*f*P)), so the whole op is a
+    free row-merge reshape [B, S/f, f*P*C] + ONE selector GEMM — never a
+    strided/lane slice: ``xp[:, ::m, :c]`` + repack lowers to a serial
+    T(1,128) gather/dynamic-update-slice loop on TPU (round-3 finding; it
+    alone cost ~x30 the roofline of the packed trunk's edge ops).
     """
     b, s, pc = xp.shape
     p = pc // c
     if factor == 1:
         return xp
-    if factor % p == 0:
-        # keep lane group 0 of every (factor//p)-th row, then repack
-        kept = xp[:, :: factor // p, :c]  # [B, S*P/factor, C]
-        assert kept.shape[1] % p == 0, (kept.shape, p)
-        return pack(kept, p)
-    # factor < p (e.g. f=2, P=4): keep lane groups 0, f, 2f... of each row;
-    # per-row concat keeps time order, so the flat stream stays time-major
-    assert p % factor == 0 and s % factor == 0
-    keep = jnp.concatenate(
-        [xp[:, :, g * c : (g + 1) * c] for g in range(0, p, factor)], axis=-1
-    )  # [B, S, (P/f)*C]
-    return keep.reshape(b, s // factor, p * c)
+    assert s % factor == 0, (s, factor)
+    sel = jnp.asarray(_downsample_selector(factor, p, c), xp.dtype)
+    xr = xp.reshape(b, s // factor, factor * pc)
+    return jnp.einsum(
+        "bsi,io->bso", xr, sel, preferred_element_type=jnp.float32
+    ).astype(xp.dtype)
 
 
 # ---- edge convs (k-tap, tiny channel ends) ----------------------------------
@@ -198,24 +221,26 @@ def packed_conv_from_flat(
     a2 = a.reshape(b, t // p, p)
     qmin = -((half + p - 1) // p)
     qmax = (half + p - 1) // p
-    out = None
+    taps = []
     for q in range(qmin, qmax + 1):
         # M_q[g, p_out*Cout + co] = kernel[tap+half] where tap = q*P + g - p_out
-        m = np.zeros((p, p * cout), np.float32)
         sel = np.zeros((p, p, k), np.float32)
         for g in range(p):
             for p_out in range(p):
                 tap = q * p + g - p_out
                 if -half <= tap <= half:
                     sel[g, p_out, tap + half] = 1.0
-        mq = jnp.einsum(
-            "gpt,tio->gpio", jnp.asarray(sel, kernel.dtype), kernel
-        ).reshape(p, p * cout)
-        y = jnp.einsum(
-            "bsg,go->bso", shift_rows(a2, q), mq,
-            preferred_element_type=jnp.float32,
-        ).astype(kernel.dtype)
-        out = y if out is None else out + y
+        taps.append(
+            jnp.einsum(
+                "gpt,tio->gpio", jnp.asarray(sel, kernel.dtype), kernel
+            ).reshape(p, p * cout)
+        )
+    kern = jnp.stack(taps, axis=0)  # [nq, P, P*Cout]
+    out = jax.lax.conv_general_dilated(
+        a2.astype(kern.dtype), kern, (1,), [(-qmin, qmax)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(kernel.dtype)
     if bias is not None:
         out = out + jnp.tile(bias, p).astype(out.dtype)
     return out
@@ -232,7 +257,7 @@ def packed_conv_to_flat(
     p = pc // cin
     qmin = -((half + p - 1) // p)
     qmax = (half + p - 1) // p
-    out = None
+    taps = []
     for q in range(qmin, qmax + 1):
         # M_q[p_in*Cin + ci, p_out] = kernel[tap+half, ci, 0], tap = p_in - p_out - q*P
         sel = np.zeros((p, p, k), np.float32)
@@ -241,14 +266,17 @@ def packed_conv_to_flat(
                 tap = q * p + p_in - p_out
                 if -half <= tap <= half:
                     sel[p_in, p_out, tap + half] = 1.0
-        mq = jnp.einsum(
-            "abt,tio->aibo", jnp.asarray(sel, kernel.dtype), kernel
-        ).reshape(p * cin, p)
-        y = jnp.einsum(
-            "bsi,io->bso", shift_rows(xp, q), mq,
-            preferred_element_type=jnp.float32,
-        ).astype(kernel.dtype)
-        out = y if out is None else out + y
+        taps.append(
+            jnp.einsum(
+                "abt,tio->aibo", jnp.asarray(sel, kernel.dtype), kernel
+            ).reshape(p * cin, p)
+        )
+    kern = jnp.stack(taps, axis=0)  # [nq, P*Cin, P]
+    out = jax.lax.conv_general_dilated(
+        xp.astype(kern.dtype), kern, (1,), [(-qmin, qmax)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(kernel.dtype)
     if bias is not None:
         out = out + bias[0].astype(out.dtype)
     return out.reshape(b, s * p)
@@ -318,28 +346,60 @@ def packed_conv_transpose_packed_in(
 ) -> jnp.ndarray:
     """Same as :func:`packed_conv_transpose` but with PACKED input
     [B, S/P, P*Cin] (no unpacked low-rate tensor is materialised). Output is
-    packed at the upsampled rate, same P."""
+    packed at the upsampled rate, same P.
+
+    Formulated as ONE row-space convolution at the INPUT row rate producing
+    phase-major lanes [B, S, stride*P*Cout], then a free row-split reshape to
+    the upsampled packed stream. No zero-stuffed dilated intermediate is ever
+    materialised (the spread einsum's tiny contraction lowered to
+    broadcast-multiply-reduce traffic at the output rate, round-3 finding).
+
+    Identity (kernel stored pre-flipped, ConvTranspose1dTorch's layout):
+    y[t] = sum_j x[j] @ kernel[u], u = stride*j - t + pad, pad = k-1-padding.
+    Output row i = J*stride + phi covers t = i*P + p_out; input sample
+    j = (J+delta)*P + p_in; so u = stride*P*delta + stride*p_in - phi*P
+    - p_out + pad, independent of J -> a [n_delta, P*Cin, stride*P*Cout]
+    row-conv kernel."""
     k, _, cout = kernel.shape
     assert k == 2 * stride
     b, sp_, pc = xp.shape
     p = pc // cin
-    s = sp_ * p
-    kf = kernel[::-1]
-    k2 = kf.transpose(1, 0, 2).reshape(cin, k * cout)
-    # per-sample k-long windows, still packed: row holds P samples' windows
-    contrib = packed_dense(xp, k2, None, cin)  # [B, S/P, P*k*Cout]
-    kc = k * cout
-    rc = stride * cout
-    # E half (first stride positions) / F half per sample, lane slices keep
-    # the per-row time order so the flat streams stay time-major
-    e = jnp.concatenate(
-        [contrib[:, :, g * kc : g * kc + rc] for g in range(p)], axis=-1
-    ).reshape(b, s * stride // p, p * cout)
-    f = jnp.concatenate(
-        [contrib[:, :, g * kc + rc : (g + 1) * kc] for g in range(p)], axis=-1
-    ).reshape(b, s * stride // p, p * cout)
-    y = time_shift(e, padding, cout)
-    y = y + time_shift(f, padding - stride, cout)
+    pad = k - 1 - padding
+    sp_p = stride * p
+    # delta range from 0 <= u < k over all (p_in, phi, p_out)
+    dmin = -(((stride - 1) * p + (p - 1) + pad - 0) // sp_p)
+    dmax = (k - 1 + (stride - 1) * p + (p - 1) - pad) // sp_p + 1
+    sel = []
+    for d in range(dmin, dmax + 1):
+        s_d = np.zeros((p, stride, p, k), np.float32)
+        for p_in in range(p):
+            for phi in range(stride):
+                for p_out in range(p):
+                    u = sp_p * d + stride * p_in - phi * p - p_out + pad
+                    if 0 <= u < k:
+                        s_d[p_in, phi, p_out, u] = 1.0
+        if s_d.any() or dmin < d < dmax:
+            sel.append((d, s_d))
+    while sel and not sel[0][1].any():
+        sel.pop(0)
+    while sel and not sel[-1][1].any():
+        sel.pop()
+    dmin = sel[0][0]
+    dmax = sel[-1][0]
+    sel_np = np.stack([s for _, s in sel], axis=0)  # [nd, P, stride, P, k]
+    # -> [nd, p_in, cin, phi, p_out, cout]: lane order phase-major so the
+    # final [B, S, stride*P*Cout] -> [B, S*stride, P*Cout] reshape is free
+    kern = jnp.einsum(
+        "dnfou,uic->dnifoc", jnp.asarray(sel_np, kernel.dtype), kernel
+    )
+    y = jax.lax.conv_general_dilated(
+        xp.astype(kern.dtype),
+        kern.reshape(len(sel), p * cin, sp_p * cout),
+        (1,), [(-dmin, dmax)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(xp.dtype)
+    y = y.reshape(b, sp_ * stride, p * cout)
     if bias is not None:
         y = y + jnp.tile(bias, p).astype(y.dtype)
     return y

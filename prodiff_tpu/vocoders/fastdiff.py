@@ -43,11 +43,12 @@ NOISE_SCHEDULES = {
 
 
 def load_fastdiff_model(config_path: str, checkpoint_path: str, reverse_step: int = 4,
-                        use_pallas_lvc: bool = False):
+                        use_pallas_lvc: bool = False, use_packed=None):
     with open(config_path) as f:
         config = yaml.safe_load(f)
     model = FastDiffNet(
         use_pallas_lvc=use_pallas_lvc,
+        use_packed=use_packed,
         audio_channels=config["audio_channels"],
         inner_channels=config["inner_channels"],
         cond_channels=config["cond_channels"],
@@ -92,9 +93,11 @@ class FastDiff(BaseVocoder):
         # opt-in fused Pallas LVC (config key: fastdiff_fused_lvc) — measured
         # faster standalone but slower in-net on v5e; see models/fastdiff.py
         fused_lvc = bool(hparams.get("fastdiff_fused_lvc", False))
+        # packed space-to-depth trunk: null = auto (on for TPU backends)
+        packed = hparams.get("fastdiff_packed", None)
         self.model, self.params, self.dh, self.noise_schedule, self.config = (
             load_fastdiff_model(config_path, ckpts[-1], reverse_step,
-                                use_pallas_lvc=fused_lvc)
+                                use_pallas_lvc=fused_lvc, use_packed=packed)
         )
         (
             self.beta_infer,

@@ -99,6 +99,30 @@ def test_packed_conv_to_flat(k):
 
 
 @pytest.mark.parametrize("stride", [4, 8, 2])
+def test_packed_conv_transpose_packed_in_matches_module(stride):
+    from prodiff_tpu.models.fastdiff import ConvTranspose1dTorch
+
+    cin = cout = 32
+    x = _x(1, 48, cin)
+    mod = ConvTranspose1dTorch(
+        features=cout, kernel_size=2 * stride, stride=stride,
+        padding=stride // 2 + stride % 2, output_padding=stride % 2,
+    )
+    params = mod.init(jax.random.PRNGKey(0), x)
+    want = mod.apply(params, x)
+    got = pk.unpack(
+        pk.packed_conv_transpose_packed_in(
+            pk.pack(x, 4), params["params"]["kernel"], params["params"]["bias"],
+            stride=stride, padding=stride // 2 + stride % 2,
+            output_padding=stride % 2, cin=cin,
+        ),
+        cout,
+    )
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("stride", [4, 8, 2])
 def test_packed_conv_transpose_matches_module(stride):
     from prodiff_tpu.models.fastdiff import ConvTranspose1dTorch
 

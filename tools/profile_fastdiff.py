@@ -44,22 +44,33 @@ def chain(compute):
     return bench._chain(compute, jax.random.PRNGKey(0))
 
 
-def full_net(B, dtype, packed=False, fused_min_hop=None, max_blocks=None):
+def full_net(B, dtype, packed=False, fused_min_hop=None, max_blocks=None,
+             skip_dconvs=False, skip_upsample=False, skip_kp=False,
+             skip_first=False, skip_final=False, skip_rdense=False):
     from prodiff_tpu.models import fastdiff as fd_mod
 
     if fused_min_hop is not None:
         fd_mod._FUSED_MIN_HOP = fused_min_hop
     fd_mod._MAX_LVC_BLOCKS = 3 if max_blocks is None else max_blocks
+    fd_mod._SKIP_DBLOCK_CONVS = skip_dconvs
+    fd_mod._SKIP_UPSAMPLE = skip_upsample
+    fd_mod._SKIP_KP = skip_kp
+    fd_mod._SKIP_FIRST = skip_first
+    fd_mod._SKIP_FINAL = skip_final
+    fd_mod._SKIP_RESIDUAL_DENSE = skip_rdense
     net = FastDiff(cond_channels=N_MELS, dtype=dtype, use_packed=packed)
     params = jax.jit(net.init)(
         jax.random.PRNGKey(3), jnp.zeros((B, T_AUDIO, 1)),
         jnp.zeros((B, T_MEL, N_MELS)), jnp.zeros((B, 1)),
     )
     cond = jnp.asarray(np.random.default_rng(0).normal(size=(B, T_MEL, N_MELS)), jnp.float32)
+    # noise generated ONCE: the e2e sampler also draws outside the scan, and
+    # per-iteration normal() on a [B,T,1] tensor costs ~ms by itself (the
+    # erf_inv chain materialises at 4-lane layout)
+    x0 = jnp.asarray(np.random.default_rng(7).normal(size=(B, T_AUDIO, 1)), jnp.float32)
 
     def compute(rng, eps):
-        x = jax.random.normal(rng, (B, T_AUDIO, 1))
-        return net.apply(params, x + eps, cond, jnp.full((B, 1), 3.0))
+        return net.apply(params, x0 + eps, cond, jnp.full((B, 1), 3.0))
 
     return chain(compute)
 
@@ -331,12 +342,33 @@ def dblocks(B, dtype):
     return chain(compute)
 
 
+def chain_floor(B, dtype):
+    """Pure harness cost: [B,T,1] scalar-broadcast add + the mean readback."""
+    x0 = jnp.asarray(np.random.default_rng(7).normal(size=(B, T_AUDIO, 1)), jnp.float32)
+
+    def compute(rng, eps):
+        return x0 + eps
+
+    return chain(compute)
+
+
+_BARE = dict(packed=True, max_blocks=0, skip_dconvs=True, skip_upsample=True)
+
 PARTS = {
+    "chain_floor": chain_floor,
+    "bare_nokp": lambda B, d: full_net(B, d, skip_kp=True, **_BARE),
+    "bare_nokp_noends": lambda B, d: full_net(
+        B, d, skip_kp=True, skip_first=True, skip_final=True, skip_rdense=True, **_BARE),
+    "bare_nokp_nofirst": lambda B, d: full_net(B, d, skip_kp=True, skip_first=True, **_BARE),
+    "bare_nokp_nofinal": lambda B, d: full_net(B, d, skip_kp=True, skip_final=True, **_BARE),
     "full_net": full_net,
     "full_net_packed": lambda B, d: full_net(B, d, packed=True),
     "full_net_packed_noublock": lambda B, d: full_net(B, d, packed=True, fused_min_hop=10**9),
     "full_net_packed_allfused": lambda B, d: full_net(B, d, packed=True, fused_min_hop=1),
     "packed_0blocks": lambda B, d: full_net(B, d, packed=True, max_blocks=0),
+    "packed_0b_noconvt": lambda B, d: full_net(B, d, packed=True, max_blocks=0, skip_upsample=True),
+    "packed_0b_nodconv": lambda B, d: full_net(B, d, packed=True, max_blocks=0, skip_dconvs=True),
+    "packed_0b_bare": lambda B, d: full_net(B, d, packed=True, max_blocks=0, skip_dconvs=True, skip_upsample=True),
     "packed_1block": lambda B, d: full_net(B, d, packed=True, max_blocks=1),
     "packed_2blocks": lambda B, d: full_net(B, d, packed=True, max_blocks=2),
     "kernel_predictor": kernel_predictor,
