@@ -38,34 +38,18 @@ K_ITERS = 16
 K_ITERS_HI = 48
 
 
-def _measure(make_loop, want_flops=False):
+def _measure(make_loop):
     """make_loop(K) -> zero-arg jitted fn returning a scalar. Two compiled
     programs (K_lo / K_hi chained iterations each, scalar readback — large
     transfers are slow through the relay); per-iteration time =
-    (T(K_hi) - T(K_lo)) / (K_hi - K_lo), best of 3 runs each, which cancels
+    (T(K_hi) - T(K_lo)) / (K_hi - K_lo), best of 5 runs each, which cancels
     the constant dispatch/relay round-trip (~1.7 ms here — single-K division
-    buries small kernels under it). With want_flops, also returns the
-    XLA-reported FLOPs per iteration (cost analysis of the K_hi loop / K_hi)."""
+    buries small kernels under it)."""
     fn_lo = make_loop(K_ITERS)
     fn_hi = make_loop(K_ITERS_HI)
-    flops = None
-    if want_flops:
-        # ONE AOT compile serves both execution and cost analysis (remote
-        # compiles cost 60-200s here, so never compile the program twice;
-        # pre-compile .lower().cost_analysis() is unsupported on this
-        # platform)
-        try:
-            compiled = fn_hi.lower().compile()
-            cost = compiled.cost_analysis()
-            if isinstance(cost, (list, tuple)):
-                cost = cost[0]
-            flops = float(cost["flops"]) / K_ITERS_HI
-            fn_hi = compiled
-        except Exception:
-            pass
 
     def best_of(fn, n=5):
-        float(np.asarray(fn()))  # compile (no-op if AOT-compiled above)
+        float(np.asarray(fn()))  # compile
         best = float("inf")
         for _ in range(n):
             t0 = time.time()
@@ -75,10 +59,19 @@ def _measure(make_loop, want_flops=False):
 
     t_lo = best_of(fn_lo)
     t_hi = best_of(fn_hi)
-    dt = max((t_hi - t_lo) / (K_ITERS_HI - K_ITERS), 1e-9)
-    if not want_flops:
-        return dt
-    return dt, flops
+    return max((t_hi - t_lo) / (K_ITERS_HI - K_ITERS), 1e-9)
+
+
+def _denoiser_flops_per_frame(layers=20, c=256, h=256, m=128):
+    """Analytic matmul FLOPs per mel frame for one WaveNet denoiser call
+    (models/wavenet.py: k=3 dilated conv C->2C + cond 1x1 H->2C + output 1x1
+    C->2C per ResidualBlock, plus input/output projections). Analytic because
+    XLA's ``compiled.cost_analysis()`` on this platform counts a
+    ``fori_loop``/``scan`` body ONCE, not x trip count — the round-2 bench's
+    cost-analysis MFU was exactly the analytic value / K, i.e. ~48x under."""
+    macs = layers * (3 * c * 2 * c + h * 2 * c + c * 2 * c)
+    macs += m * c + c * c + c * m  # input proj + out conv stack
+    return 2 * macs
 
 
 # bf16 MXU peak per chip, used as the MFU denominator
@@ -135,17 +128,19 @@ def _teacher(n_mels, rng, B, T_ph, T_mel, infer_step):
 def bench_acoustic_4step():
     """BASELINE config 1: ProDiff teacher 4-step text->mel (SVS scale)."""
     rng = np.random.default_rng(0)
-    B, T_mel = 1, 512
-    acoustic, _ = _teacher(128, rng, B, 16, T_mel, 4)
-    dt, flops = _measure(_chain(acoustic, jax.random.PRNGKey(2)), want_flops=True)
+    B, T_mel, steps = 1, 512, 4
+    acoustic, _ = _teacher(128, rng, B, 16, T_mel, steps)
+    dt = _measure(_chain(acoustic, jax.random.PRNGKey(2)))
     audio_sec = B * T_mel * 512 / 44100
     ex = {"mel_frames_per_sec": round(B * T_mel / dt, 1)}
     peak = _peak_tflops()
-    if flops:
-        tf = flops / dt / 1e12
-        ex["denoiser_tflops"] = round(tf, 3)
-        if peak:
-            ex["denoiser_mfu"] = round(tf / peak, 4)
+    # 4 denoiser calls dominate; the 4-layer encoder at T_ph=16 is <1% and is
+    # excluded, keeping the MFU claim conservative
+    flops = steps * B * T_mel * _denoiser_flops_per_frame()
+    tf = flops / dt / 1e12
+    ex["denoiser_tflops"] = round(tf, 3)
+    if peak:
+        ex["denoiser_mfu"] = round(tf / peak, 4)
     return dt / audio_sec, ex
 
 
@@ -265,7 +260,7 @@ def bench_train_step(bf16: bool = False):
 
         return run
 
-    dt, flops = _measure(make_loop, want_flops=True)
+    dt = _measure(make_loop)
     tag = "train_bf16" if bf16 else "train"
     ex = {
         f"{tag}_step_ms": round(dt * 1000, 1),
@@ -273,11 +268,13 @@ def bench_train_step(bf16: bool = False):
         f"{tag}_steps_per_sec": round(1 / dt, 2),
     }
     peak = _peak_tflops()
-    if flops:
-        tf = flops / dt / 1e12
-        ex[f"{tag}_tflops"] = round(tf, 3)
-        if peak:
-            ex[f"{tag}_mfu"] = round(tf / peak, 4)
+    # standard MFU accounting: forward matmul FLOPs x3 for fwd+bwd (encoder
+    # and optimizer excluded — both <2% of the denoiser at these shapes)
+    flops = 3 * B * T_mel * _denoiser_flops_per_frame()
+    tf = flops / dt / 1e12
+    ex[f"{tag}_tflops"] = round(tf, 3)
+    if peak:
+        ex[f"{tag}_mfu"] = round(tf / peak, 4)
     return ex
 
 
@@ -294,7 +291,7 @@ def main():
     extras = {}
     # denoiser + train-step MFU ship in the DEFAULT output (round-2 verdict:
     # the driver runs plain `python bench.py`, so the utilization record must
-    # not hide behind --full); FLOPs come from the same AOT-compiled programs
+    # not hide behind --full); FLOPs are analytic (_denoiser_flops_per_frame)
     rtf_ac, ex = bench_acoustic_4step()
     extras["acoustic_4step_rtf"] = round(rtf_ac, 6)
     extras.update(ex)
