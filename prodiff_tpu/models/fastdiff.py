@@ -101,6 +101,13 @@ class KernelPredictor(nn.Module):
     hidden_channels: int = 64
     conv_size: int = 3
     dtype: jnp.dtype = None
+    # flat=True returns the raw conv outputs ([B, L, layers*k*Cin*Cout] /
+    # [B, L, layers*Cout]) so the caller can lane-slice per layer. The 5-D
+    # reshape below makes XLA relayout the whole ~50 MB kernels tensor twice
+    # (channel-major transpose + permuted copy, ~0.6 ms/forward on v5e when
+    # the consumer is the fused UBlock kernel); per-layer tile-aligned lane
+    # slices of the flat tensor avoid both.
+    flat: bool = False
 
     @nn.compact
     def __call__(self, c):
@@ -120,6 +127,8 @@ class KernelPredictor(nn.Module):
         h = h + r
         kernels = nn.Conv(l_w, (self.conv_size,), padding="SAME", dtype=self.dtype, name="kernel_conv")(h)
         bias = nn.Conv(l_b, (self.conv_size,), padding="SAME", dtype=self.dtype, name="bias_conv")(h)
+        if self.flat:
+            return kernels, bias
         b, L = c.shape[0], c.shape[1]
         # kernel_conv's OUTPUT CHANNELS are ordered [layers, k, Cin, Cout]
         # (tap-major), so the GEMM-ready [B, L, layers, k*Cin, Cout] layout is
@@ -410,6 +419,10 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps):
         bp = params[f"lvc_blocks_{n}"]
         noise = dense("fc_t", emb, parent=bp)
         condition = c + noise[:, None, :]
+        # On TPU the KP runs with a bf16 compute dtype so kernel_conv EMITS
+        # bf16 (params stay f32): XLA computes these convs in bf16 internally
+        # regardless (default TPU conv precision), and a separate
+        # f32->bf16 astype pass on the ~50 MB output measured 0.33 ms.
         kp = KernelPredictor(
             conv_in_channels=cin,
             conv_out_channels=2 * cin,
@@ -417,15 +430,34 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps):
             conv_kernel_size=net.lvc_kernel_size,
             hidden_channels=net.kpnet_hidden_channels,
             conv_size=net.kpnet_conv_size,
+            flat=True,
+            dtype=None if interpret else jnp.bfloat16,
         )
         if _SKIP_KP:
             shapes = jax.eval_shape(
                 lambda c_: kp.apply({"params": bp["kernel_predictor"]}, c_), condition
             )
-            kernels = jnp.zeros(shapes[0].shape, shapes[0].dtype)
-            kbias = jnp.zeros(shapes[1].shape, shapes[1].dtype)
+            kflat = jnp.zeros(shapes[0].shape, shapes[0].dtype)
+            bflat = jnp.zeros(shapes[1].shape, shapes[1].dtype)
         else:
-            kernels, kbias = kp.apply({"params": bp["kernel_predictor"]}, condition)
+            kflat, bflat = kp.apply({"params": bp["kernel_predictor"]}, condition)
+        # the LVC bias is rolled in-kernel and Mosaic can't roll bf16; it is
+        # tiny ([B, L, 2C*layers]) so f32 costs nothing
+        bflat = bflat.astype(jnp.float32)
+        # per-layer kernels via tile-aligned lane slices of the FLAT conv
+        # output (channel order is [layers, k, Cin, Cout], so layer i is lanes
+        # [i*kwc, (i+1)*kwc)); reshaping the whole tensor to 5-D first makes
+        # XLA relayout all ~50 MB of it twice (measured ~1.2 ms/forward). The
+        # bf16 operand (see the kp construction above) halves the remaining
+        # relayout + kernel DMA. CPU convs are true f32, so f32 is kept there
+        # (golden tests stay tight).
+        kwc = net.lvc_kernel_size * cin * 2 * cin
+        L_mel = kflat.shape[1]
+
+        def layer_kernels(i):
+            km = jax.lax.slice_in_dim(kflat, i * kwc, (i + 1) * kwc, axis=2)
+            lb = jax.lax.slice_in_dim(bflat, i * 2 * cin, (i + 1) * 2 * cin, axis=2)
+            return km.reshape(b, L_mel, net.lvc_kernel_size * cin, 2 * cin), lb
         xp = jax.nn.leaky_relu(xp, 0.2)
         if _SKIP_UPSAMPLE:
             # cheap repeat-upsample stand-in (diagnostics only)
@@ -441,10 +473,11 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps):
         if cond_hop >= _FUSED_MIN_HOP:
             # audio-rate block: fused Pallas layers on the packed trunk
             for i in range(net.lvc_layers_each_block):
+                km_i, lb_i = layer_kernels(i)
                 xp = ublock_layer_packed(
                     xp, adp,
                     bp[f"convs_{i}"]["kernel"], bp[f"convs_{i}"]["bias"],
-                    kernels[:, :, i], kbias[:, :, i],
+                    km_i, lb_i,
                     dilation=3 ** i, hop=cond_hop, interpret=interpret,
                 )
         else:
@@ -454,6 +487,7 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps):
             x = pk.unpack(xp, cin)
             ad = pk.unpack(adp, cin)
             for i in range(net.lvc_layers_each_block):
+                km_i, lb_i = layer_kernels(i)
                 x = x + ad
                 y = jax.nn.leaky_relu(x, 0.2)
                 y = jax.lax.conv_general_dilated(
@@ -462,9 +496,7 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps):
                     dimension_numbers=("NWC", "WIO", "NWC"),
                 ) + bp[f"convs_{i}"]["bias"]
                 y = jax.nn.leaky_relu(y, 0.2)
-                y = location_variable_convolution(
-                    y, kernels[:, :, i], kbias[:, :, i], cond_hop
-                )
+                y = location_variable_convolution(y, km_i, lb_i, cond_hop)
                 gate, filt = y[..., :cin], y[..., cin:]
                 x = x + jax.nn.sigmoid(gate) * jnp.tanh(filt)
             xp = pk.pack(x, p)

@@ -191,13 +191,18 @@ def ublock_layer_packed(
         # = km[d*C + ci, co] iff g == q — built per window by tiling km chunks
         # and masking (pltpu.repeat = whole-tile semantics); one GEMM per
         # (tap, gate|filt)
+        # kernels may arrive in bf16 (XLA computes the KernelPredictor convs
+        # in bf16 anyway, so a bf16 operand loses no precision while halving
+        # the host-side relayout + DMA traffic). Mosaic cannot roll non-32-bit
+        # vectors, so the window is converted back to f32 at the VMEM read —
+        # the savings are all upstream of the kernel.
         bd_mask = (
             jax.lax.broadcasted_iota(jnp.int32, (pc, pc), 0) // cin
             == jax.lax.broadcasted_iota(jnp.int32, (pc, pc), 1) // cin
         ).astype(jnp.float32)
         xa_int = xa[halo : halo + rows]
         for w in range(wpb):
-            km = km_ref[0, w]  # [3C, 2C] = [gate | filt] columns
+            km = km_ref[0, w].astype(jnp.float32)  # [3C, 2C] = [gate | filt]
             km_g = km[:, :cin]
             km_f = pltpu.roll(km, cin, 1)[:, :cin]  # filt half to offset 0
 

@@ -320,6 +320,32 @@ def packed_edges(B, dtype, which="first"):
     return chain(compute)
 
 
+def fused_layers_sliced(B, dtype):
+    """Like fused_layers, but kmat/bias come from slicing a [B, L, 4, 96, 64]
+    stack per layer — mimics how _packed_forward consumes KernelPredictor
+    output, to isolate operand-production cost around the pallas calls."""
+    from prodiff_tpu.ops.pallas.ublock import ublock_layer_packed
+
+    rng0 = np.random.default_rng(4)
+    x = jnp.asarray(rng0.normal(size=(B, T_AUDIO // 4, 128)), jnp.float32)
+    ad = jnp.asarray(rng0.normal(size=(B, T_AUDIO // 4, 128)), jnp.float32)
+    cks = [jnp.asarray(rng0.normal(size=(3, 32, 32)) * 0.1, jnp.float32) for _ in range(4)]
+    cb = jnp.zeros((32,), jnp.float32)
+    kstack = jnp.asarray(rng0.normal(size=(B, T_MEL, 4, 96, 64)) * 0.1, jnp.float32)
+    lstack = jnp.zeros((B, T_MEL, 4, 64), jnp.float32)
+
+    def compute(rng, eps):
+        cur = x + eps
+        for i in range(4):
+            cur = ublock_layer_packed(
+                cur, ad, cks[i], cb, kstack[:, :, i], lstack[:, :, i],
+                dilation=3 ** i, hop=HOP,
+            )
+        return cur
+
+    return chain(compute)
+
+
 def dblocks(B, dtype):
     net_blocks = [
         DiffusionDBlock(32, f, dtype=dtype, name=f"d{i}")
@@ -381,7 +407,11 @@ PARTS = {
     "lvc_op_x4": lvc_op_only,
     "dblocks": dblocks,
     "fused_layers": fused_layers_only,
+    "fused_layers_sliced": fused_layers_sliced,
     "fused_layers_w32": lambda B, d: fused_layers_only(B, d, wpb=32),
+    "packed_full_nokp": lambda B, d: full_net(B, d, packed=True, skip_kp=True),
+    "packed_fmh64": lambda B, d: full_net(B, d, packed=True, fused_min_hop=64),
+    "packed_full_noup": lambda B, d: full_net(B, d, packed=True, skip_upsample=True),
     "xla_layers": xla_layers_only,
     "pk_first": lambda B, d: packed_edges(B, d, "first"),
     "pk_final": lambda B, d: packed_edges(B, d, "final"),
