@@ -66,14 +66,13 @@ def time_shift(xp: jnp.ndarray, s: int, c: int) -> jnp.ndarray:
     return jnp.concatenate([a, b], axis=-1)
 
 
-# ---- k=3 dilated conv (SAME) on packed rows ---------------------------------
+# ---- odd-k dilated conv (SAME) on packed rows -------------------------------
 
 
-@functools.lru_cache(maxsize=64)
-def _conv3_selector(dilation: int, pack_: int) -> Tuple[np.ndarray, Tuple[int, ...]]:
-    """S[qi, p_in, p_out, tap] for out_time = in_time + tap selection; taps
-    (-d, 0, d). Same construction as ops/blocked_conv.py's selector."""
-    taps = (-dilation, 0, dilation)
+@functools.lru_cache(maxsize=256)
+def _convk_selector(taps: Tuple[int, ...], pack_: int) -> Tuple[np.ndarray, Tuple[int, ...]]:
+    """S[qi, p_in, p_out, tap] for out_time = in_time + tap selection.
+    Same construction as ops/blocked_conv.py's selector."""
     qs = sorted(
         {
             (p_out + t - p_in) // pack_
@@ -83,7 +82,7 @@ def _conv3_selector(dilation: int, pack_: int) -> Tuple[np.ndarray, Tuple[int, .
             if (p_out + t - p_in) % pack_ == 0
         }
     )
-    s = np.zeros((len(qs), pack_, pack_, 3), np.float32)
+    s = np.zeros((len(qs), pack_, pack_, len(taps)), np.float32)
     for qi, q in enumerate(qs):
         for p_out in range(pack_):
             for ti, t in enumerate(taps):
@@ -93,28 +92,35 @@ def _conv3_selector(dilation: int, pack_: int) -> Tuple[np.ndarray, Tuple[int, .
     return s, tuple(qs)
 
 
-def conv3_mixing_matrices(
+def convk_mixing_matrices(
     kernel: jnp.ndarray, dilation: int, pack_: int
 ) -> Tuple[jnp.ndarray, Tuple[int, ...]]:
-    """Mixing matrices M[qi]: [P*Cin, P*Cout] for the packed k=3 dilated conv
-    y_packed = sum_q shift_rows(x_packed, q) @ M[qi]. kernel: [3, Cin, Cout]
-    (lax WIO layout)."""
-    _, cin, cout = kernel.shape
-    s_np, qs = _conv3_selector(dilation, pack_)
+    """Mixing matrices M[qi]: [P*Cin, P*Cout] for a packed odd-k dilated conv
+    y_packed = sum_q shift_rows(x_packed, q) @ M[qi]. kernel: [k, Cin, Cout]
+    (lax WIO layout), taps at ``dilation * (j - k//2)`` (SAME padding)."""
+    k, cin, cout = kernel.shape
+    assert k % 2 == 1, f"packed conv needs odd kernel (got {k})"
+    taps = tuple(dilation * (j - k // 2) for j in range(k))
+    s_np, qs = _convk_selector(taps, pack_)
     m = jnp.einsum("qabt,tio->qaibo", jnp.asarray(s_np).astype(kernel.dtype), kernel)
     return m.reshape(len(qs), pack_ * cin, pack_ * cout), qs
 
 
-def packed_conv3(
+# back-compat name (the FastDiff trunk is k=3 throughout)
+def conv3_mixing_matrices(kernel, dilation, pack_):
+    return convk_mixing_matrices(kernel, dilation, pack_)
+
+
+def packed_convk(
     xp: jnp.ndarray,
     kernel: jnp.ndarray,
     bias: jnp.ndarray | None,
     dilation: int,
     cin: int,
 ) -> jnp.ndarray:
-    """k=3 dilated SAME conv, packed in / packed out.
+    """Odd-k dilated SAME conv, packed in / packed out.
 
-    xp: [B, S, P*Cin]; kernel: [3, Cin, Cout]; -> [B, S, P*Cout].
+    xp: [B, S, P*Cin]; kernel: [k, Cin, Cout]; -> [B, S, P*Cout].
     Equivalent to ``lax.conv_general_dilated(..., rhs_dilation=(d,),
     padding='SAME')`` on the unpacked tensor (ops/blocked_conv.py parity).
 
@@ -126,7 +132,7 @@ def packed_conv3(
     pc = xp.shape[-1]
     p = pc // cin
     cout = kernel.shape[-1]
-    m, qs = conv3_mixing_matrices(kernel, dilation, p)
+    m, qs = convk_mixing_matrices(kernel, dilation, p)
     qmin, qmax = min(qs), max(qs)
     # dense contiguous tap stack (missing offsets get zero matrices)
     taps = []
@@ -144,6 +150,11 @@ def packed_conv3(
     if bias is not None:
         out = out + jnp.tile(bias, p).astype(out.dtype)
     return out
+
+
+def packed_conv3(xp, kernel, bias, dilation, cin):
+    """Back-compat alias of :func:`packed_convk` (FastDiff's k=3 trunk)."""
+    return packed_convk(xp, kernel, bias, dilation, cin)
 
 
 # ---- 1x1 conv (dense per time step) -----------------------------------------
@@ -238,6 +249,58 @@ def packed_conv_from_flat(
     kern = jnp.stack(taps, axis=0)  # [nq, P, P*Cout]
     out = jax.lax.conv_general_dilated(
         a2.astype(kern.dtype), kern, (1,), [(-qmin, qmax)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(kernel.dtype)
+    if bias is not None:
+        out = out + jnp.tile(bias, p).astype(out.dtype)
+    return out
+
+
+def packed_strided_conv_from_flat(
+    a: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None,
+    stride: int,
+    padding: int,
+    p: int,
+) -> jnp.ndarray:
+    """Strided conv on a flat scalar signal, packed output.
+
+    a: [B, T]; kernel: [k, 1, Cout] (lax WIO, torch-style symmetric
+    ``padding`` zeros); -> [B, T/(stride*P), P*Cout] — the packed view of the
+    [B, T/stride, Cout] output. Requires T % (stride*P) == 0 and
+    k - padding <= stride*P (window reach bounded by one row, which holds for
+    the NSF-HiFiGAN noise convs: k = 2*stride, padding = stride//2).
+
+    Used for NSF-HiFiGAN's ``noise_convs`` (reference
+    ``modules/nsf_hifigan/models.py:246-258``): the harmonic source stays a
+    flat [B, T] array (full lanes) instead of a [B, T, 1] tensor that would
+    tile at 1/128 lane occupancy.
+    """
+    k, one, cout = kernel.shape
+    assert one == 1
+    b, t = a.shape
+    sp_ = stride * p
+    assert t % sp_ == 0, (t, stride, p)
+    rows = a.reshape(b, t // sp_, sp_)
+    # output t_out = j*P + g draws sample m = g*stride - padding + u relative
+    # to row j's start; split m into (row delta, in-row position)
+    dmin = (0 - padding) // sp_
+    dmax = ((p - 1) * stride - padding + k - 1) // sp_
+    sel = np.zeros((dmax - dmin + 1, sp_, p, k), np.float32)
+    for g in range(p):
+        for u in range(k):
+            m = g * stride - padding + u
+            d, q = divmod(m, sp_)
+            sel[d - dmin, q, g, u] = 1.0
+    kern = jnp.einsum(
+        "dqgu,uic->dqgc", jnp.asarray(sel, kernel.dtype), kernel
+    ).reshape(dmax - dmin + 1, sp_, p * cout)
+    out = jax.lax.conv_general_dilated(
+        rows.astype(kernel.dtype),
+        kern,
+        (1,), [(-dmin, dmax)],
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=jnp.float32,
     ).astype(kernel.dtype)

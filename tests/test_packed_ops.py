@@ -98,6 +98,49 @@ def test_packed_conv_to_flat(k):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+@pytest.mark.parametrize(
+    "k,dilation,cin", [(7, 1, 32), (7, 5, 16), (11, 3, 16), (11, 5, 64), (5, 2, 32)]
+)
+def test_packed_convk_matches_lax(k, dilation, cin):
+    """General odd-k dilated conv (NSF-HiFiGAN resblock shapes)."""
+    cout = cin
+    p = 128 // cin
+    x = _x(2, 32 * p, cin)
+    kernel = jnp.asarray(RNG.normal(size=(k, cin, cout)).astype(np.float32)) * 0.2
+    bias = jnp.asarray(RNG.normal(size=(cout,)).astype(np.float32))
+    want = jax.lax.conv_general_dilated(
+        x, kernel, (1,), "SAME", rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    ) + bias
+    got = pk.unpack(
+        pk.packed_convk(pk.pack(x, p), kernel, bias, dilation, cin), cout
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+
+@pytest.mark.parametrize(
+    "stride,p,cout", [(4, 2, 64), (2, 4, 32), (1, 8, 16), (8, 2, 32)]
+)
+def test_packed_strided_conv_from_flat(stride, p, cout):
+    """NSF noise-conv shapes: k = 2*stride (or 1x1), padding = stride//2."""
+    k = 2 * stride if stride > 1 else 1
+    padding = stride // 2
+    t = 64 * stride * p
+    a = _x(2, t, 1)
+    kernel = jnp.asarray(RNG.normal(size=(k, 1, cout)).astype(np.float32)) * 0.4
+    bias = jnp.asarray(RNG.normal(size=(cout,)).astype(np.float32))
+    want = jax.lax.conv_general_dilated(
+        a, kernel, (stride,), [(padding, padding)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    ) + bias
+    got = pk.unpack(
+        pk.packed_strided_conv_from_flat(a[..., 0], kernel, bias, stride, padding, p),
+        cout,
+    )
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
 @pytest.mark.parametrize("stride", [4, 8, 2])
 def test_packed_conv_transpose_packed_in_matches_module(stride):
     from prodiff_tpu.models.fastdiff import ConvTranspose1dTorch
