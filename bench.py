@@ -296,10 +296,12 @@ def main():
     extras["acoustic_4step_rtf"] = round(rtf_ac, 6)
     extras.update(ex)
     extras.update(bench_train_step())
+    # SVS-scale NSF-HiFiGAN e2e ships in the DEFAULT output (the packed trunk
+    # is a headline-scale win: generator 21.2 -> 6.8 ms on v5e)
+    rtf_nsf, ex = bench_e2e_nsf_hifigan()
+    extras["e2e_nsf_hifigan_rtf"] = round(rtf_nsf, 6)
+    extras["nsf_wall_ms"] = ex["wall_ms"]
     if full:
-        rtf_nsf, ex = bench_e2e_nsf_hifigan()
-        extras["e2e_nsf_hifigan_rtf"] = round(rtf_nsf, 6)
-        extras["nsf_wall_ms"] = ex["wall_ms"]
         extras.update(bench_train_step(bf16=True))
     rtf_e2e, ex = bench_e2e_fastdiff()
     extras.update({f"e2e_{k}": v for k, v in ex.items()})

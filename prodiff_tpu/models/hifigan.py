@@ -22,6 +22,9 @@ from prodiff_tpu.models.nsf_hifigan import (
     LRELU_SLOPE,
     ResBlock1,
     ResBlock2,
+    flat_har_source,
+    packed_hifigan_trunk,
+    packed_trunk_supported,
 )
 
 
@@ -101,9 +104,13 @@ class HifiGanGenerator(nn.Module):
     use_pitch_embed: bool = False
     audio_sample_rate: int = 22050
     c_out: int = 1
+    # packed trunk (see models/nsf_hifigan.py:packed_hifigan_trunk). With the
+    # default 128ch start EVERY stage is C < 128, so the whole pyramid runs
+    # packed. None = auto (on for TPU inference).
+    use_packed: Optional[bool] = None
 
     @classmethod
-    def from_config(cls, h: dict) -> "HifiGanGenerator":
+    def from_config(cls, h: dict, use_packed=None) -> "HifiGanGenerator":
         return cls(
             upsample_rates=tuple(h["upsample_rates"]),
             upsample_kernel_sizes=tuple(h["upsample_kernel_sizes"]),
@@ -113,6 +120,18 @@ class HifiGanGenerator(nn.Module):
             resblock_dilation_sizes=tuple(map(tuple, h["resblock_dilation_sizes"])),
             use_pitch_embed=h.get("use_pitch_embed", False),
             audio_sample_rate=h.get("audio_sample_rate", 22050),
+            use_packed=use_packed,
+        )
+
+    def _packed_supported(self, t_mel: int) -> bool:
+        return self.c_out == 1 and packed_trunk_supported(
+            t_mel,
+            rates=self.upsample_rates,
+            ksizes=self.upsample_kernel_sizes,
+            init_ch=self.upsample_initial_channel,
+            resblock=self.resblock,
+            res_ksizes=self.resblock_kernel_sizes,
+            has_source=self.use_pitch_embed,
         )
 
     @nn.compact
@@ -120,6 +139,15 @@ class HifiGanGenerator(nn.Module):
         """mel: [B, T, 80]; f0: [B, T] (frame rate) -> wav [B, T*upp]."""
         num_kernels = len(self.resblock_kernel_sizes)
         upp = int(np.prod(self.upsample_rates))
+        use_packed = self.use_packed
+        if use_packed is None:
+            use_packed = jax.devices()[0].platform in ("tpu", "axon")
+        if (
+            use_packed
+            and not self.is_initializing()
+            and self._packed_supported(mel.shape[1])
+        ):
+            return _packed_forward(self, mel, f0)
         har_source = None
         if self.use_pitch_embed and f0 is not None:
             f0_up = jnp.repeat(f0, upp, axis=1)  # nearest upsample
@@ -156,6 +184,30 @@ class HifiGanGenerator(nn.Module):
         x = nn.leaky_relu(x)
         x = Conv1d(self.c_out, 7, padding=3, name="conv_post")(x)
         return jnp.tanh(x)[..., 0]
+
+
+def _packed_forward(net: "HifiGanGenerator", mel, f0):
+    """Packed-trunk forward (same params as linen). The harmonic source uses
+    the flat planar formulation with parallel_wavegan initial-phase semantics
+    (``samplewise_ini``); its noise realisation differs from linen (equal in
+    distribution — see flat_har_source)."""
+    params = net.variables["params"]
+    upp = int(np.prod(net.upsample_rates))
+    har = None
+    if net.use_pitch_embed and f0 is not None:
+        lin = params["m_source"]["l_linear"]
+        har = flat_har_source(
+            f0, upp, net.audio_sample_rate, 8, net.make_rng("noise"),
+            lin["kernel"], lin["bias"], samplewise_ini=True,
+        )
+    return packed_hifigan_trunk(
+        params, mel, har,
+        rates=net.upsample_rates,
+        ksizes=net.upsample_kernel_sizes,
+        init_ch=net.upsample_initial_channel,
+        res_ksizes=net.resblock_kernel_sizes,
+        res_dsizes=net.resblock_dilation_sizes,
+    )
 
 
 def convert_hifigan(sd: dict, h: dict) -> dict:

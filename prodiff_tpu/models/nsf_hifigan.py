@@ -139,6 +139,56 @@ class ResBlock2(nn.Module):
         return x
 
 
+def _sine_planar(
+    f0: jnp.ndarray,
+    upp: int,
+    sampling_rate: int,
+    harmonic_num: int,
+    rng_ini: Optional[jax.Array],
+    samplewise_ini: bool = False,
+) -> jnp.ndarray:
+    """Raw harmonic sines in planar [B, T_frames, D, upp] layout.
+
+    The per-sample axis (upp >= 128) sits on lanes, so the 2.4M-sample
+    transcendental runs at full lane occupancy; the [B, T, D=9] interleaved
+    layout is only formed by :func:`sine_gen` when a consumer needs it.
+
+    ``samplewise_ini`` reproduces the parallel_wavegan-style source
+    (models/hifigan.py:sine_gen_samplewise, torch ``source.py:59-84``) where
+    the random initial phase enters ONCE as the phase-cumsum's starting value
+    (a [B, D] draw); the default reproduces the NSF ``SineGen`` where it is
+    added to frame 0's per-sample increment (a [1, D] draw scaled by the
+    within-frame sample index, ``models.py:136-171``).
+    """
+    b, t_frames = f0.shape
+    dim = harmonic_num + 1
+
+    harmonics = jnp.arange(1, dim + 1, dtype=jnp.float32)[None, None, :]
+    rad = jnp.mod(f0[:, :, None] * harmonics / sampling_rate, 1.0)  # [B, T_f, D]
+    carry0 = jnp.zeros((b, dim))
+    if rng_ini is not None:
+        rand_ini = jax.random.uniform(rng_ini, (b if samplewise_ini else 1, dim))
+        rand_ini = rand_ini.at[:, 0].set(0.0)
+        if samplewise_ini:
+            carry0 = carry0 + rand_ini
+        else:
+            rad = rad.at[:, 0, :].add(rand_ini)
+
+    # frame-start phases mod 1, exact in f32 thanks to the bounded carry
+    frame_inc = jnp.mod(rad * upp, 1.0)  # [B, T_f, D]
+
+    def step(carry, inc):
+        new = jnp.mod(carry + inc, 1.0)
+        return new, carry
+
+    _, base = jax.lax.scan(step, carry0, jnp.moveaxis(frame_inc, 1, 0))
+    base = jnp.moveaxis(base, 0, 1)  # [B, T_f, D] phase at each frame START
+
+    within = (jnp.arange(upp, dtype=jnp.float32) + 1.0)[None, None, None, :]  # [1,1,1,upp]
+    phase = base[..., None] + within * rad[..., None]  # [B, T_f, D, upp]
+    return jnp.sin(2 * jnp.pi * phase)
+
+
 def sine_gen(
     f0: jnp.ndarray,
     upp: int,
@@ -162,30 +212,11 @@ def sine_gen(
     """
     b, t_frames = f0.shape
     dim = harmonic_num + 1
-
-    harmonics = jnp.arange(1, dim + 1, dtype=jnp.float32)[None, None, :]
-    rad = jnp.mod(f0[:, :, None] * harmonics / sampling_rate, 1.0)  # [B, T_f, D]
     if rng is not None:
         rng_ini, rng_noise = jax.random.split(rng)
-        rand_ini = jax.random.uniform(rng_ini, (1, dim))
-        rand_ini = rand_ini.at[:, 0].set(0.0)
-        rad = rad.at[:, 0, :].add(rand_ini)
-
-    # frame-start phases mod 1, exact in f32 thanks to the bounded carry
-    frame_inc = jnp.mod(rad * upp, 1.0)  # [B, T_f, D]
-
-    def step(carry, inc):
-        new = jnp.mod(carry + inc, 1.0)
-        return new, carry
-
-    _, base = jax.lax.scan(step, jnp.zeros((b, dim)), jnp.moveaxis(frame_inc, 1, 0))
-    base = jnp.moveaxis(base, 0, 1)  # [B, T_f, D] phase at each frame START
-
-    # compute sin with `upp` (>=128) on the LANE axis: a [..., upp, D=9]
-    # layout would run the 2.4M-sample transcendental at 9/128 lane occupancy
-    within = (jnp.arange(upp, dtype=jnp.float32) + 1.0)[None, None, None, :]  # [1,1,1,upp]
-    phase = base[..., None] + within * rad[..., None]  # [B, T_f, D, upp]
-    sines = jnp.sin(2 * jnp.pi * phase)
+    else:
+        rng_ini = None
+    sines = _sine_planar(f0, upp, sampling_rate, harmonic_num, rng_ini)
     # [B, T_f, D, upp] -> [B, T_f*upp, D]
     sines = sines.transpose(0, 1, 3, 2).reshape(b, t_frames * upp, dim)
 
@@ -196,6 +227,51 @@ def sine_gen(
     noise_amp = uv * noise_std + (1 - uv) * sine_amp / 3
     noise = noise_amp * jax.random.normal(rng_noise, sines.shape)
     return sines * sine_amp * uv + noise
+
+
+def flat_har_source(
+    f0: jnp.ndarray,
+    upp: int,
+    sampling_rate: int,
+    harmonic_num: int,
+    rng: Optional[jax.Array],
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    sine_amp: float = 0.1,
+    noise_std: float = 0.003,
+    voiced_threshold: float = 0.0,
+    samplewise_ini: bool = False,
+) -> jnp.ndarray:
+    """SourceModuleHnNSF (sine_gen -> l_linear -> tanh) emitting a FLAT [B, T].
+
+    w/bias: the module's ``l_linear`` params ([D, 1] / [1]). The D harmonics
+    are contracted in the planar [B, T_f, D, upp] layout, so neither the
+    [B, T, 9] sine tensor (9/128 lanes -> 134 MB physical at T=262k) nor the
+    [B, T, 1] merged tensor (1/128 lanes) is ever materialised.
+
+    Exactly equal to the linen module when ``rng is None``. With noise, the
+    l_linear projection of the D iid noise channels is drawn directly as one
+    channel at std ``||w||_2`` — equal in distribution (a linear map of iid
+    gaussians), 9x less RNG, different realisation.
+
+    ``samplewise_ini`` selects the parallel_wavegan initial-phase semantics
+    (see :func:`_sine_planar`) used by models/hifigan.py's source.
+    """
+    b, t_frames = f0.shape
+    if rng is not None:
+        rng_ini, rng_noise = jax.random.split(rng)
+    else:
+        rng_ini = None
+    sines = _sine_planar(
+        f0, upp, sampling_rate, harmonic_num, rng_ini, samplewise_ini
+    )
+    uv = (f0 > voiced_threshold).astype(jnp.float32)[:, :, None]  # [B, T_f, 1]
+    m = jnp.einsum("btdu,d->btu", sines, w[:, 0]) * sine_amp * uv
+    if rng is not None:
+        wnorm = jnp.sqrt(jnp.sum(w[:, 0] ** 2))
+        noise_amp = (uv * noise_std + (1 - uv) * sine_amp / 3) * wnorm
+        m = m + noise_amp * jax.random.normal(rng_noise, m.shape)
+    return jnp.tanh(m + bias[0]).reshape(b, t_frames * upp)
 
 
 class SourceModuleHnNSF(nn.Module):
@@ -229,10 +305,16 @@ class Generator(nn.Module):
     resblock: str = "1"
     resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
     resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    # packed trunk: run the low-channel upsample stages (C < 128) in the
+    # space-to-depth [B, T/P, 128] layout (ops/packed.py), the noise convs
+    # against a flat [B, T] harmonic source. None = auto (on for TPU
+    # inference). Pure XLA — differentiable and CPU-capable, but only a win
+    # where lane padding dominates.
+    use_packed: Optional[bool] = None
     dtype: jnp.dtype = None
 
     @classmethod
-    def from_config(cls, h: dict, dtype=None) -> "Generator":
+    def from_config(cls, h: dict, dtype=None, use_packed=None) -> "Generator":
         return cls(
             num_mels=h["num_mels"],
             sampling_rate=h["sampling_rate"],
@@ -242,12 +324,29 @@ class Generator(nn.Module):
             resblock=str(h["resblock"]),
             resblock_kernel_sizes=tuple(h["resblock_kernel_sizes"]),
             resblock_dilation_sizes=tuple(map(tuple, h["resblock_dilation_sizes"])),
+            use_packed=use_packed,
             dtype=dtype,
         )
 
     @property
     def upp(self) -> int:
         return int(np.prod(self.upsample_rates))
+
+    def _stage_packs(self) -> Tuple[int, ...]:
+        return hifigan_stage_packs(
+            self.upsample_initial_channel, len(self.upsample_rates)
+        )
+
+    def _packed_supported(self, t_mel: int) -> bool:
+        return packed_trunk_supported(
+            t_mel,
+            rates=self.upsample_rates,
+            ksizes=self.upsample_kernel_sizes,
+            init_ch=self.upsample_initial_channel,
+            resblock=self.resblock,
+            res_ksizes=self.resblock_kernel_sizes,
+            has_source=True,
+        )
 
     @nn.compact
     def __call__(
@@ -259,6 +358,17 @@ class Generator(nn.Module):
     ) -> jnp.ndarray:
         """mel: [B, T, M] (natural-log scale); f0: [B, T] Hz -> wav [B, T*upp]."""
         num_kernels = len(self.resblock_kernel_sizes)
+        use_packed = self.use_packed
+        if use_packed is None:
+            # auto: packed trunk on TPU backends; CPU keeps linen (the
+            # mixing-matrix GEMMs only pay off where lane padding dominates)
+            use_packed = jax.devices()[0].platform in ("tpu", "axon")
+        if (
+            use_packed
+            and not self.is_initializing()
+            and self._packed_supported(mel.shape[1])
+        ):
+            return _packed_forward(self, mel, f0, har_source, deterministic)
         if har_source is None:
             har_source = SourceModuleHnNSF(
                 self.sampling_rate, harmonic_num=8, name="m_source"
@@ -298,3 +408,214 @@ class Generator(nn.Module):
         x = nn.leaky_relu(x)  # torch default slope 0.01 here (reference :284)
         x = Conv1d(1, 7, padding=3, dtype=self.dtype, name="conv_post")(x)
         return jnp.tanh(x.astype(jnp.float32))[..., 0]  # [B, T*upp]
+
+
+# ---- packed (space-to-depth) execution path ---------------------------------
+
+
+def hifigan_stage_packs(init_ch: int, n_stages: int) -> Tuple[int, ...]:
+    """Packing factor per upsample stage (1 = plain [B, T, C] layout)."""
+    packs = []
+    for i in range(n_stages):
+        c = init_ch // (2 ** (i + 1))
+        packs.append(128 // c if (c < 128 and 128 % c == 0) else 1)
+    return tuple(packs)
+
+
+def packed_trunk_supported(
+    t_mel: int,
+    *,
+    rates: Sequence[int],
+    ksizes: Sequence[int],
+    init_ch: int,
+    resblock: str,
+    res_ksizes: Sequence[int],
+    has_source: bool,
+) -> bool:
+    """Architecture + shape gate for the packed HiFiGAN-family trunk
+    (default openvpi config: 512ch, rates 8/8/2/2/2, k=2*rate, ResBlock1
+    k=3/7/11; also the 128ch plain-HiFiGAN config)."""
+    n = len(rates)
+    if str(resblock) != "1":
+        return False
+    if any(k != 2 * u for u, k in zip(rates, ksizes)):
+        return False
+    if any(rk % 2 == 0 for rk in res_ksizes):
+        return False
+    packs = hifigan_stage_packs(init_ch, n)
+    if packs[-1] <= 1:
+        return False  # nothing to pack
+    t_audio = t_mel * int(np.prod(rates))
+    p_prev, t_cur = 1, t_mel
+    for i, (u, p) in enumerate(zip(rates, packs)):
+        t_cur *= u
+        if p < p_prev or (p > 1 and p % p_prev != 0):
+            return False
+        if t_cur % p != 0:
+            return False
+        if has_source:
+            # noise-conv geometry (k = 2*stride except the last 1x1)
+            if i + 1 < n:
+                s_f0 = int(np.prod(rates[i + 1:]))
+            else:
+                s_f0 = 1
+            p_n = p if p > 1 else 2
+            if t_audio % (s_f0 * p_n) != 0:
+                return False
+        p_prev = p
+    return True
+
+
+def packed_hifigan_trunk(
+    params,
+    mel: jnp.ndarray,
+    har: Optional[jnp.ndarray],
+    *,
+    rates: Sequence[int],
+    ksizes: Sequence[int],
+    init_ch: int,
+    res_ksizes: Sequence[int],
+    res_dsizes: Sequence[Sequence[int]],
+) -> jnp.ndarray:
+    """HiFiGAN-family pyramid (conv_pre .. conv_post) with the low-channel
+    stages packed. mel: [B, T, M]; har: flat [B, T_audio] source or None
+    (plain HiFiGAN without pitch embedding) -> wav [B, T_audio].
+
+    The C >= 128 stages run as plain lax convs — they are already full-lane;
+    everything downstream of the first C < 128 stage stays in the packed
+    [B, T/P, 128] layout: the transposed convs as phase-major row convs (the
+    P->2P repack as channels halve is a free row-merge reshape), the
+    resblocks as selector-GEMM packed convs (ops/packed.py:packed_convk),
+    the noise convs against the FLAT [B, T] harmonic source, and conv_post
+    straight from packed to flat audio. No partial-lane audio-rate tensor is
+    ever materialised — an unpacked [T, 16] f32 stage tensor costs 8x its
+    logical HBM traffic, and the measured v5e stage profile (tools/
+    profile_nsf.py) put 17.6 of the linen generator's 21.2 ms in the C < 128
+    resblocks + the lhs-dilated stage-2 convT this replaces.
+    """
+    from prodiff_tpu.ops import packed as pk
+
+    b, t_mel = mel.shape[0], mel.shape[1]
+    num_kernels = len(res_ksizes)
+    n_up = len(rates)
+    packs = hifigan_stage_packs(init_ch, n_up)
+
+    def conv_p(name):
+        cp = params[name]["conv"]
+        return cp["kernel"], cp["bias"]
+
+    k_pre, b_pre = conv_p("conv_pre")
+    x = (
+        jax.lax.conv_general_dilated(
+            mel, k_pre, (1,), [(3, 3)], dimension_numbers=("NWC", "WIO", "NWC")
+        )
+        + b_pre
+    )
+
+    p_prev = 1
+    c_cur = init_ch
+    for i, (u, k) in enumerate(zip(rates, ksizes)):
+        c_cur = init_ch // (2 ** (i + 1))
+        p_cur = packs[i]
+        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        upk = params[f"ups_{i}"]
+        if p_cur > 1:
+            x = pk.packed_conv_transpose_packed_in(
+                x, upk["kernel"], upk["bias"], stride=u,
+                padding=(k - u) // 2, output_padding=0,
+                cin=x.shape[-1] // p_prev,
+            )  # [B, rows*u, p_prev*c_cur]
+            m = p_cur // p_prev  # repack: free row-merge reshape
+            if m > 1:
+                x = x.reshape(b, x.shape[1] // m, m * x.shape[2])
+        else:
+            pad = k - 1 - (k - u) // 2
+            x = (
+                jax.lax.conv_general_dilated(
+                    x, upk["kernel"], (1,), [(pad, pad)], lhs_dilation=(u,),
+                    dimension_numbers=("NWC", "WIO", "NWC"),
+                )
+                + upk["bias"]
+            )
+        if har is not None:
+            # noise conv from the flat source (a lane-padded [B, T, 1] input
+            # would read 128x its logical bytes)
+            kn, bn = conv_p(f"noise_convs_{i}")
+            if i + 1 < n_up:
+                stride_f0 = int(np.prod(rates[i + 1:]))
+                pad_n = stride_f0 // 2
+            else:
+                stride_f0, pad_n = 1, 0
+            p_n = p_cur if p_cur > 1 else 2
+            xs = pk.packed_strided_conv_from_flat(
+                har, kn, bn, stride_f0, pad_n, p_n
+            )
+            if p_cur == 1:
+                xs = pk.unpack(xs, c_cur)
+            x = x + xs
+        # resblocks (mean of num_kernels ResBlock1s)
+        xs_sum = None
+        for j, rds in enumerate(res_dsizes):
+            rb = params[f"resblocks_{i * num_kernels + j}"]
+            h = x
+            for li, d in enumerate(rds):
+                kc1 = rb[f"convs1_{li}"]["conv"]
+                kc2 = rb[f"convs2_{li}"]["conv"]
+                xt = jax.nn.leaky_relu(h, LRELU_SLOPE)
+                if p_cur > 1:
+                    xt = pk.packed_convk(xt, kc1["kernel"], kc1["bias"], d, c_cur)
+                    xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
+                    xt = pk.packed_convk(xt, kc2["kernel"], kc2["bias"], 1, c_cur)
+                else:
+                    xt = (
+                        jax.lax.conv_general_dilated(
+                            xt, kc1["kernel"], (1,), "SAME", rhs_dilation=(d,),
+                            dimension_numbers=("NWC", "WIO", "NWC"),
+                        )
+                        + kc1["bias"]
+                    )
+                    xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
+                    xt = (
+                        jax.lax.conv_general_dilated(
+                            xt, kc2["kernel"], (1,), "SAME",
+                            dimension_numbers=("NWC", "WIO", "NWC"),
+                        )
+                        + kc2["bias"]
+                    )
+                h = xt + h
+            xs_sum = h if xs_sum is None else xs_sum + h
+        x = xs_sum / num_kernels
+        p_prev = p_cur
+
+    x = jax.nn.leaky_relu(x)  # torch default slope 0.01 (reference :284)
+    kpo, bpo = conv_p("conv_post")
+    out = pk.packed_conv_to_flat(x, kpo, bpo, c_cur)
+    return jnp.tanh(out.astype(jnp.float32))  # [B, T*upp]
+
+
+def _packed_forward(net: "Generator", mel, f0, har_source, deterministic):
+    """NSF generator forward on the packed trunk.
+
+    Reads the SAME params as the linen path (``net.variables``). Numerics:
+    identical op semantics to linen (parity-tested); with the stochastic
+    source the noise REALISATION differs (see flat_har_source). Runs in f32
+    (net.dtype is ignored here; bf16 measured negative on this net's linen
+    path).
+    """
+    params = net.variables["params"]
+    if har_source is None:
+        rng = None if deterministic else net.make_rng("noise")
+        lin = params["m_source"]["l_linear"]
+        har = flat_har_source(
+            f0, net.upp, net.sampling_rate, 8, rng, lin["kernel"], lin["bias"]
+        )  # [B, T_audio]
+    else:
+        har = har_source[..., 0]
+    return packed_hifigan_trunk(
+        params, mel, har,
+        rates=net.upsample_rates,
+        ksizes=net.upsample_kernel_sizes,
+        init_ch=net.upsample_initial_channel,
+        res_ksizes=net.resblock_kernel_sizes,
+        res_dsizes=net.resblock_dilation_sizes,
+    )

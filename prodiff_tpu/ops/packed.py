@@ -269,9 +269,8 @@ def packed_strided_conv_from_flat(
 
     a: [B, T]; kernel: [k, 1, Cout] (lax WIO, torch-style symmetric
     ``padding`` zeros); -> [B, T/(stride*P), P*Cout] — the packed view of the
-    [B, T/stride, Cout] output. Requires T % (stride*P) == 0 and
-    k - padding <= stride*P (window reach bounded by one row, which holds for
-    the NSF-HiFiGAN noise convs: k = 2*stride, padding = stride//2).
+    [B, T/stride, Cout] output. Requires T % (stride*P) == 0; windows may
+    reach any number of neighbouring rows (the tap range covers it).
 
     Used for NSF-HiFiGAN's ``noise_convs`` (reference
     ``modules/nsf_hifigan/models.py:246-258``): the harmonic source stays a

@@ -78,7 +78,11 @@ class HifiGAN(BaseVocoder):
         }
         self.config = config
         self.params = jax.tree.map(jnp.asarray, convert_hifigan(sd, config))
-        self.model = HifiGanGenerator.from_config(config)
+        # hifigan_packed: tri-state like fastdiff_packed/nsf_packed — None/
+        # absent = auto (packed trunk on TPU backends), true/false = force
+        self.model = HifiGanGenerator.from_config(
+            config, use_packed=self.hparams.get("hifigan_packed", None)
+        )
 
     @functools.cached_property
     def _jitted(self):

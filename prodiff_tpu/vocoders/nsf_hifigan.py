@@ -43,7 +43,11 @@ class NsfHifiGAN(BaseVocoder):
             self.params = params
             self.h = config
         self._check_params()
-        self.model = Generator.from_config(self.h)
+        # nsf_packed: tri-state like fastdiff_packed — None/absent = auto
+        # (packed trunk on TPU backends), true/false = force
+        self.model = Generator.from_config(
+            self.h, use_packed=hparams.get("nsf_packed", None)
+        )
 
     def _check_params(self):
         hp, h = self.hparams, self.h

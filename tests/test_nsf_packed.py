@@ -1,0 +1,184 @@
+"""Packed-trunk NSF-HiFiGAN generator vs the linen path (same params).
+
+The packed path (models/nsf_hifigan.py:_packed_forward) runs the C < 128
+upsample stages in the space-to-depth [B, T/P, 128] layout with the flat
+harmonic source; it must match the linen formulation bit-closely when the
+source is deterministic (reference semantics:
+``modules/nsf_hifigan/models.py:196-297``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from prodiff_tpu.models.nsf_hifigan import (
+    Generator,
+    SourceModuleHnNSF,
+    flat_har_source,
+    sine_gen,
+)
+
+RNG = np.random.default_rng(7)
+
+
+def _f0(b, t):
+    f0 = RNG.uniform(80, 600, size=(b, t)).astype(np.float32)
+    f0[:, : t // 4] = 0.0  # unvoiced head exercises the uv gate
+    return jnp.asarray(f0)
+
+
+def _gens(**kw):
+    return (
+        Generator(use_packed=False, **kw),
+        Generator(use_packed=True, **kw),
+    )
+
+
+@pytest.mark.parametrize(
+    "arch",
+    [
+        # full openvpi default: 512ch, rates 8/8/2/2/2 -> packed stages 2-4
+        dict(),
+        # 256ch start: channels 128/64/32/16/8 -> packed from stage 1, P up to 16
+        dict(upsample_initial_channel=256),
+    ],
+)
+def test_packed_generator_matches_linen(arch):
+    t_mel = 16
+    gen_lin, gen_pk = _gens(**arch)
+    assert gen_pk._packed_supported(t_mel), arch
+    mel = jnp.asarray(RNG.normal(size=(2, t_mel, 128)).astype(np.float32))
+    f0 = _f0(2, t_mel)
+    params = gen_lin.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, mel, f0
+    )
+    want = gen_lin.apply(params, mel, f0, deterministic=True)
+    got = gen_pk.apply(params, mel, f0, deterministic=True)
+    assert got.shape == want.shape == (2, t_mel * gen_lin.upp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_packed_generator_with_given_har_source():
+    t_mel = 8
+    gen_lin, gen_pk = _gens()
+    mel = jnp.asarray(RNG.normal(size=(1, t_mel, 128)).astype(np.float32))
+    f0 = _f0(1, t_mel)
+    params = gen_lin.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, mel, f0
+    )
+    har = jnp.asarray(
+        RNG.normal(size=(1, t_mel * gen_lin.upp, 1)).astype(np.float32) * 0.1
+    )
+    want = gen_lin.apply(params, mel, har_source=har)
+    got = gen_pk.apply(params, mel, har_source=har)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_packed_generator_noise_path_finite():
+    """Stochastic source: different noise realisation by design, same stats."""
+    t_mel = 8
+    _, gen_pk = _gens()
+    mel = jnp.asarray(RNG.normal(size=(1, t_mel, 128)).astype(np.float32))
+    f0 = _f0(1, t_mel)
+    params = gen_pk.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, mel, f0
+    )
+    out = gen_pk.apply(
+        params, mel, f0, rngs={"noise": jax.random.PRNGKey(3)}
+    )
+    assert out.shape == (1, t_mel * gen_pk.upp)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flat_har_source_matches_module_deterministic():
+    t_mel, upp, sr = 12, 512, 44100
+    f0 = _f0(2, t_mel)
+    mod = SourceModuleHnNSF(sr, harmonic_num=8)
+    params = mod.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        f0, upp, deterministic=True,
+    )
+    want = mod.apply(params, f0, upp, deterministic=True)  # [B, T, 1]
+    lin = params["params"]["l_linear"]
+    got = flat_har_source(f0, upp, sr, 8, None, lin["kernel"], lin["bias"])
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want[..., 0]), atol=1e-6
+    )
+
+
+def test_flat_har_source_noise_stats():
+    """Unvoiced frames: projected noise std must equal ||w|| * sine_amp/3."""
+    t_mel, upp, sr = 4, 512, 44100
+    f0 = jnp.zeros((1, t_mel))  # fully unvoiced -> pure noise through tanh
+    w = jnp.asarray(RNG.normal(size=(9, 1)).astype(np.float32))
+    b = jnp.zeros((1,))
+    out = flat_har_source(f0, upp, sr, 8, jax.random.PRNGKey(0), w, b)
+    # tanh is ~identity at this amplitude (0.1/3 * ||w||)
+    expect_std = float(np.sqrt((np.asarray(w)[:, 0] ** 2).sum()) * 0.1 / 3)
+    got_std = float(np.asarray(out).std())
+    assert abs(got_std - expect_std) / expect_std < 0.15, (got_std, expect_std)
+
+
+def test_packed_plain_hifigan_matches_linen():
+    """128ch plain HiFiGAN (no pitch source): every stage is C < 128 packed."""
+    from prodiff_tpu.models.hifigan import HifiGanGenerator
+
+    t_mel = 24
+    gen_lin = HifiGanGenerator(use_packed=False)
+    gen_pk = HifiGanGenerator(use_packed=True)
+    assert gen_pk._packed_supported(t_mel)
+    mel = jnp.asarray(RNG.normal(size=(2, t_mel, 80)).astype(np.float32))
+    params = gen_lin.init(jax.random.PRNGKey(0), mel)
+    want = gen_lin.apply(params, mel)
+    got = gen_pk.apply(params, mel)
+    assert got.shape == want.shape == (2, t_mel * 256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_packed_pitch_hifigan_finite():
+    from prodiff_tpu.models.hifigan import HifiGanGenerator
+
+    t_mel = 16
+    gen_pk = HifiGanGenerator(use_packed=True, use_pitch_embed=True)
+    mel = jnp.asarray(RNG.normal(size=(1, t_mel, 80)).astype(np.float32))
+    f0 = _f0(1, t_mel)
+    params = gen_pk.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, mel, f0
+    )
+    out = gen_pk.apply(params, mel, f0, rngs={"noise": jax.random.PRNGKey(4)})
+    assert out.shape == (1, t_mel * 256)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flat_har_source_samplewise_matches_cumsum():
+    """samplewise_ini phase semantics == parallel_wavegan mod-1 cumsum
+    (frame-constant f0), through the l_linear + tanh head."""
+    from prodiff_tpu.models.hifigan import mod1_cumsum
+
+    t_mel, upp, sr = 10, 256, 22050
+    f0 = _f0(1, t_mel)
+    w = jnp.asarray(RNG.normal(size=(9, 1)).astype(np.float32))
+    b = jnp.asarray(RNG.normal(size=(1,)).astype(np.float32))
+    got = flat_har_source(
+        f0, upp, sr, 8, None, w, b, samplewise_ini=True
+    )
+    # manual samplewise source with zero rand_ini / zero noise
+    f0_up = jnp.repeat(f0, upp, axis=1)
+    harmonics = jnp.arange(1, 10, dtype=jnp.float32)[None, None, :]
+    rad = jnp.mod(f0_up[:, :, None] * harmonics / sr, 1.0)
+    sines = jnp.sin(2 * jnp.pi * mod1_cumsum(rad)) * 0.1
+    uv = (f0_up > 0).astype(jnp.float32)[:, :, None]
+    want = jnp.tanh((sines * uv) @ w + b)[..., 0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
+
+
+def test_sine_gen_unchanged_by_refactor():
+    """sine_gen's public behaviour (golden-tested vs torch) must be stable."""
+    f0 = _f0(1, 6)
+    out = sine_gen(f0, 512, 44100, 8, jax.random.PRNGKey(2))
+    assert out.shape == (1, 6 * 512, 9)
+    det = sine_gen(f0, 512, 44100, 8, None)
+    # unvoiced head is exactly zero in the deterministic render
+    assert float(np.abs(np.asarray(det)[:, : 512, :]).max()) == 0.0
+    assert np.isfinite(np.asarray(out)).all()
