@@ -28,9 +28,9 @@ import numpy as np
 
 # persistent compilation cache: compiles dominate wall time behind the relay
 try:
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/prodiff_tpu_jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    from prodiff_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 except Exception:
     pass
 
@@ -88,19 +88,37 @@ def _peak_tflops():
     return None
 
 
-def _chain(compute, rng0):
-    """Wrap `compute(rng, eps) -> array` into a K-iteration dependency chain."""
+def _chain(compute, rng0, consts=None):
+    """Wrap `compute(rng, eps) -> array` into a K-iteration dependency chain.
+
+    ``consts``: a pytree of device arrays passed INTO the jitted loop as an
+    argument and forwarded to ``compute(rng, eps, consts)``. Model params
+    must ride this path, not a Python closure: closure-captured params become
+    HLO constants, which XLA constant-folds through weight-transform chains —
+    measured 304 MB executables / 500+ s cold compiles for the packed NSF
+    generator vs seconds with params-as-arguments."""
 
     def make_loop(K):
+        if consts is None:
+            @jax.jit
+            def run():
+                def body(i, carry):
+                    out = compute(jax.random.fold_in(rng0, i), carry * 1e-20)
+                    return jnp.mean(out)
+
+                return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+
+            return run
+
         @jax.jit
-        def run():
+        def run_c(c):
             def body(i, carry):
-                out = compute(jax.random.fold_in(rng0, i), carry * 1e-20)
+                out = compute(jax.random.fold_in(rng0, i), carry * 1e-20, c)
                 return jnp.mean(out)
 
             return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
 
-        return run
+        return lambda: run_c(consts)
 
     return make_loop
 
@@ -116,21 +134,21 @@ def _teacher(n_mels, rng, B, T_ph, T_mel, infer_step):
         tokens, mel2ph, f0, lang_seq=lang, spk_embed_id=spk, gt_spec=mel,
     )
 
-    def acoustic(rng_key, eps):
+    def acoustic(rng_key, eps, p):
         return model.apply(
-            params, tokens, mel2ph, f0 + eps, lang_seq=lang, spk_embed_id=spk,
+            p, tokens, mel2ph, f0 + eps, lang_seq=lang, spk_embed_id=spk,
             infer=True, infer_step=infer_step, rngs={"diffusion": rng_key},
         )
 
-    return acoustic, (tokens, mel2ph, f0, lang, spk)
+    return acoustic, (tokens, mel2ph, f0, lang, spk), params
 
 
 def bench_acoustic_4step():
     """BASELINE config 1: ProDiff teacher 4-step text->mel (SVS scale)."""
     rng = np.random.default_rng(0)
     B, T_mel, steps = 1, 512, 4
-    acoustic, _ = _teacher(128, rng, B, 16, T_mel, steps)
-    dt = _measure(_chain(acoustic, jax.random.PRNGKey(2)))
+    acoustic, _, tparams = _teacher(128, rng, B, 16, T_mel, steps)
+    dt = _measure(_chain(acoustic, jax.random.PRNGKey(2), consts=tparams))
     audio_sec = B * T_mel * 512 / 44100
     ex = {"mel_frames_per_sec": round(B * T_mel / dt, 1)}
     peak = _peak_tflops()
@@ -157,7 +175,7 @@ def bench_e2e_fastdiff():
 
     rng = np.random.default_rng(1)
     B, T_mel, n_mels, hop, sr = 1, 512, 80, 256, 22050
-    acoustic, _ = _teacher(n_mels, rng, B, 16, T_mel, 2)
+    acoustic, _, tparams = _teacher(n_mels, rng, B, 16, T_mel, 2)
 
     net = FastDiff(cond_channels=n_mels)  # reference scale: 32 ch, ratios 8,8,4
     fd_params = jax.jit(net.init)(
@@ -167,14 +185,15 @@ def bench_e2e_fastdiff():
     dh = compute_hyperparams_given_schedule(np.linspace(1e-6, 0.01, 1000))
     bi, ai, si, steps = prepare_inference_schedule(NOISE_SCHEDULES[4], dh["alpha"])
 
-    def e2e(rng_key, eps):
-        mel = acoustic(rng_key, eps)
+    def e2e(rng_key, eps, c):
+        tp, fp = c
+        mel = acoustic(rng_key, eps, tp)
         return sampling_given_noise_schedule(
-            lambda p, x, c, t: net.apply(p, x, c, t),
-            fd_params, rng_key, T_mel * hop, mel, bi, ai, si, steps,
+            lambda p, x, c_, t: net.apply(p, x, c_, t),
+            fp, rng_key, T_mel * hop, mel, bi, ai, si, steps,
         )
 
-    dt = _measure(_chain(e2e, jax.random.PRNGKey(7)))
+    dt = _measure(_chain(e2e, jax.random.PRNGKey(7), consts=(tparams, fd_params)))
     audio_sec = B * T_mel * hop / sr
     return dt / audio_sec, {
         "audio_sec": round(audio_sec, 2),
@@ -186,21 +205,28 @@ def bench_e2e_nsf_hifigan():
     """BASELINE config 3 flavour: SVS acoustic + NSF-HiFiGAN @44.1k/hop512."""
     from prodiff_tpu.models.nsf_hifigan import Generator
 
+    from prodiff_tpu.models.nsf_hifigan import PackedGeneratorRunner
+
     rng = np.random.default_rng(2)
     B, T_mel, n_mels = 1, 512, 128
-    acoustic, inputs = _teacher(n_mels, rng, B, 16, T_mel, 4)
+    acoustic, inputs, tparams = _teacher(n_mels, rng, B, 16, T_mel, 4)
     f0 = inputs[2]
     gen = Generator()  # reference scale: 512 ch, rates 8,8,2,2,2
     gparams = jax.jit(gen.init)(
         {"params": jax.random.PRNGKey(4), "noise": jax.random.PRNGKey(5)},
         jnp.zeros((B, T_mel, n_mels)), f0,
     )
+    # packed trunk with params prepared OUTSIDE the measured program (the
+    # production serving path); prepared tree rides the consts argument
+    runner = PackedGeneratorRunner(gen)
+    prepared = jax.jit(runner.prepare)(gparams)
 
-    def e2e(rng_key, eps):
-        mel = acoustic(rng_key, eps)
-        return gen.apply(gparams, mel * 2.30259, f0 + eps, rngs={"noise": rng_key})
+    def e2e(rng_key, eps, c):
+        tp, gp = c
+        mel = acoustic(rng_key, eps, tp)
+        return runner(gp, mel * 2.30259, f0 + eps, rng_key)
 
-    dt = _measure(_chain(e2e, jax.random.PRNGKey(8)))
+    dt = _measure(_chain(e2e, jax.random.PRNGKey(8), consts=(tparams, prepared)))
     audio_sec = B * T_mel * 512 / 44100
     return dt / audio_sec, {"wall_ms": round(dt * 1000, 2)}
 
@@ -248,17 +274,19 @@ def bench_train_step(bf16: bool = False):
         return (params, opt_state), loss
 
     def make_loop(K):
+        # params/opt_state ride in as jit ARGUMENTS (embedding them as
+        # closure constants bloats the executable; see _chain)
         @jax.jit
-        def run():
+        def run_c(c):
             def body(i, carry_loss):
                 carry, _ = carry_loss
                 carry, loss = train_step(carry, jax.random.fold_in(jax.random.PRNGKey(9), i))
                 return (carry, loss)
 
-            (_, loss) = jax.lax.fori_loop(0, K, body, ((params, opt_state), jnp.float32(0)))
+            (_, loss) = jax.lax.fori_loop(0, K, body, (c, jnp.float32(0)))
             return loss
 
-        return run
+        return lambda: run_c((params, opt_state))
 
     dt = _measure(make_loop)
     tag = "train_bf16" if bf16 else "train"

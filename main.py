@@ -5,6 +5,9 @@ binarize / train / infer / vocode wav2wav / preprocess / web / merge_rectified.
 import click
 
 from prodiff_tpu.config import set_hparams
+from prodiff_tpu.utils.jax_cache import enable_persistent_cache
+
+enable_persistent_cache()  # relay compiles cost minutes; cache across runs
 
 
 @click.group()

@@ -476,6 +476,8 @@ def packed_hifigan_trunk(
     init_ch: int,
     res_ksizes: Sequence[int],
     res_dsizes: Sequence[Sequence[int]],
+    dtype: Optional[jnp.dtype] = None,
+    prepared: bool = False,
 ) -> jnp.ndarray:
     """HiFiGAN-family pyramid (conv_pre .. conv_post) with the low-channel
     stages packed. mel: [B, T, M]; har: flat [B, T_audio] source or None
@@ -492,9 +494,22 @@ def packed_hifigan_trunk(
     logical HBM traffic, and the measured v5e stage profile (tools/
     profile_nsf.py) put 17.6 of the linen generator's 21.2 ms in the C < 128
     resblocks + the lhs-dilated stage-2 convT this replaces.
+
+    ``dtype=jnp.bfloat16`` runs the trunk activations/weights in bf16 with
+    f32 accumulation (params stay f32 in HBM; casts happen at use). The trunk
+    is traffic-bound, so this is ~2x on the packed stages.
+
+    ``prepared=True``: ``params`` is a :func:`prepare_packed_trunk_params`
+    tree — the selector-GEMM kernels are already in row-conv form (built
+    once OUTSIDE jit). Building them in-graph against closure-captured params
+    makes XLA constant-fold them into the executable: measured ~300 MB
+    programs and 500+ s cold compiles for this generator. Prepared trees
+    should be passed as jit ARGUMENTS. ``dtype`` must be baked at prepare
+    time in this mode.
     """
     from prodiff_tpu.ops import packed as pk
 
+    assert not (prepared and dtype is not None), "bake dtype at prepare time"
     b, t_mel = mel.shape[0], mel.shape[1]
     num_kernels = len(res_ksizes)
     n_up = len(rates)
@@ -502,12 +517,18 @@ def packed_hifigan_trunk(
 
     def conv_p(name):
         cp = params[name]["conv"]
+        if dtype is not None:
+            return cp["kernel"].astype(dtype), cp["bias"].astype(dtype)
         return cp["kernel"], cp["bias"]
+
+    def _cast(t):
+        return t.astype(dtype) if dtype is not None else t
 
     k_pre, b_pre = conv_p("conv_pre")
     x = (
         jax.lax.conv_general_dilated(
-            mel, k_pre, (1,), [(3, 3)], dimension_numbers=("NWC", "WIO", "NWC")
+            mel.astype(k_pre.dtype), k_pre, (1,), [(3, 3)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
         )
         + b_pre
     )
@@ -520,10 +541,15 @@ def packed_hifigan_trunk(
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         upk = params[f"ups_{i}"]
         if p_cur > 1:
-            x = pk.packed_conv_transpose_packed_in(
-                x, upk["kernel"], upk["bias"], stride=u,
-                padding=(k - u) // 2, output_padding=0,
-                cin=x.shape[-1] // p_prev,
+            kern = (
+                upk["kernel"] if prepared
+                else pk.prepare_conv_transpose_packed_in(
+                    _cast(upk["kernel"]), u, (k - u) // 2, p_prev
+                )
+            )
+            x = pk.packed_conv_transpose_packed_in_prepared(
+                x, kern, _cast(upk["bias"]), k, stride=u,
+                padding=(k - u) // 2, cin=x.shape[-1] // p_prev,
             )  # [B, rows*u, p_prev*c_cur]
             m = p_cur // p_prev  # repack: free row-merge reshape
             if m > 1:
@@ -532,10 +558,11 @@ def packed_hifigan_trunk(
             pad = k - 1 - (k - u) // 2
             x = (
                 jax.lax.conv_general_dilated(
-                    x, upk["kernel"], (1,), [(pad, pad)], lhs_dilation=(u,),
+                    x, _cast(upk["kernel"]), (1,), [(pad, pad)],
+                    lhs_dilation=(u,),
                     dimension_numbers=("NWC", "WIO", "NWC"),
                 )
-                + upk["bias"]
+                + _cast(upk["bias"])
             )
         if har is not None:
             # noise conv from the flat source (a lane-padded [B, T, 1] input
@@ -543,19 +570,21 @@ def packed_hifigan_trunk(
             kn, bn = conv_p(f"noise_convs_{i}")
             if i + 1 < n_up:
                 stride_f0 = int(np.prod(rates[i + 1:]))
-                pad_n = stride_f0 // 2
+                kn_k, pad_n = 2 * stride_f0, stride_f0 // 2
             else:
-                stride_f0, pad_n = 1, 0
+                stride_f0, kn_k, pad_n = 1, 1, 0
             p_n = p_cur if p_cur > 1 else 2
-            xs = pk.packed_strided_conv_from_flat(
-                har, kn, bn, stride_f0, pad_n, p_n
+            if not prepared:
+                kn = pk.prepare_strided_conv_from_flat(kn, stride_f0, pad_n, p_n)
+            xs = pk.packed_strided_conv_from_flat_prepared(
+                har, kn, bn, kn_k, stride_f0, pad_n, p_n
             )
             if p_cur == 1:
                 xs = pk.unpack(xs, c_cur)
             x = x + xs
         # resblocks (mean of num_kernels ResBlock1s)
         xs_sum = None
-        for j, rds in enumerate(res_dsizes):
+        for j, (rk, rds) in enumerate(zip(res_ksizes, res_dsizes)):
             rb = params[f"resblocks_{i * num_kernels + j}"]
             h = x
             for li, d in enumerate(rds):
@@ -563,24 +592,32 @@ def packed_hifigan_trunk(
                 kc2 = rb[f"convs2_{li}"]["conv"]
                 xt = jax.nn.leaky_relu(h, LRELU_SLOPE)
                 if p_cur > 1:
-                    xt = pk.packed_convk(xt, kc1["kernel"], kc1["bias"], d, c_cur)
-                    xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
-                    xt = pk.packed_convk(xt, kc2["kernel"], kc2["bias"], 1, c_cur)
+                    for pos, (cp, dd) in enumerate(((kc1, d), (kc2, 1))):
+                        kern = (
+                            cp["kernel"] if prepared
+                            else pk.prepare_convk(_cast(cp["kernel"]), dd, p_cur)
+                        )
+                        xt = pk.packed_convk_prepared(
+                            xt, kern, _cast(cp["bias"]), rk, dd, c_cur
+                        )
+                        if pos == 0:  # between the two convs of the unit
+                            xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
                 else:
                     xt = (
                         jax.lax.conv_general_dilated(
-                            xt, kc1["kernel"], (1,), "SAME", rhs_dilation=(d,),
+                            xt, _cast(kc1["kernel"]), (1,), "SAME",
+                            rhs_dilation=(d,),
                             dimension_numbers=("NWC", "WIO", "NWC"),
                         )
-                        + kc1["bias"]
+                        + _cast(kc1["bias"])
                     )
                     xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
                     xt = (
                         jax.lax.conv_general_dilated(
-                            xt, kc2["kernel"], (1,), "SAME",
+                            xt, _cast(kc2["kernel"]), (1,), "SAME",
                             dimension_numbers=("NWC", "WIO", "NWC"),
                         )
-                        + kc2["bias"]
+                        + _cast(kc2["bias"])
                     )
                 h = xt + h
             xs_sum = h if xs_sum is None else xs_sum + h
@@ -589,8 +626,156 @@ def packed_hifigan_trunk(
 
     x = jax.nn.leaky_relu(x)  # torch default slope 0.01 (reference :284)
     kpo, bpo = conv_p("conv_post")
-    out = pk.packed_conv_to_flat(x, kpo, bpo, c_cur)
+    k_post = 7  # both generators hardcode Conv1d(1, 7) (asserted at prepare)
+    if not prepared:
+        k_post = kpo.shape[0]
+        kpo = pk.prepare_conv_to_flat(kpo, p_prev)
+    out = pk.packed_conv_to_flat_prepared(x, kpo, bpo, k_post, c_cur)
     return jnp.tanh(out.astype(jnp.float32))  # [B, T*upp]
+
+
+def prepare_packed_trunk_params(
+    params,
+    *,
+    rates: Sequence[int],
+    ksizes: Sequence[int],
+    init_ch: int,
+    res_ksizes: Sequence[int],
+    res_dsizes: Sequence[Sequence[int]],
+    has_source: bool,
+    dtype: Optional[jnp.dtype] = None,
+) -> dict:
+    """Pre-pack a HiFiGAN-family param tree for
+    ``packed_hifigan_trunk(prepared=True)``.
+
+    Returns a pytree of ARRAYS only (row-conv kernel stacks + biases +
+    untouched edge/source params) mirroring the linen param names. Run it
+    once (ideally under a tiny jit) and pass the result as a jit ARGUMENT to
+    the forward — closure-capturing raw params makes XLA constant-fold the
+    selector einsums into a ~300 MB executable with 500+ s cold compiles
+    (measured, NSF scale); the prepared tree keeps the forward program small
+    and the weights resident on device. ``dtype`` bakes a bf16 trunk.
+    """
+    from prodiff_tpu.ops import packed as pk
+
+    cast = (lambda t: t.astype(dtype)) if dtype is not None else (lambda t: t)
+    n_up = len(rates)
+    num_kernels = len(res_ksizes)
+    packs = hifigan_stage_packs(init_ch, n_up)
+    out = {}
+
+    def conv(entry):
+        return {"conv": {"kernel": cast(entry["conv"]["kernel"]),
+                         "bias": cast(entry["conv"]["bias"])}}
+
+    out["conv_pre"] = conv(params["conv_pre"])
+    assert params["conv_post"]["conv"]["kernel"].shape[0] == 7
+    p_prev = 1
+    for i, (u, k) in enumerate(zip(rates, ksizes)):
+        p_cur = packs[i]
+        upk = params[f"ups_{i}"]
+        if p_cur > 1:
+            kern = pk.prepare_conv_transpose_packed_in(
+                cast(upk["kernel"]), u, (k - u) // 2, p_prev
+            )
+        else:
+            kern = cast(upk["kernel"])
+        out[f"ups_{i}"] = {"kernel": kern, "bias": cast(upk["bias"])}
+        if has_source:
+            ncp = params[f"noise_convs_{i}"]["conv"]
+            if i + 1 < n_up:
+                s_f0 = int(np.prod(rates[i + 1:]))
+                pad_n = s_f0 // 2
+            else:
+                s_f0, pad_n = 1, 0
+            p_n = p_cur if p_cur > 1 else 2
+            out[f"noise_convs_{i}"] = {"conv": {
+                "kernel": pk.prepare_strided_conv_from_flat(
+                    cast(ncp["kernel"]), s_f0, pad_n, p_n
+                ),
+                "bias": cast(ncp["bias"]),
+            }}
+        for j, rds in enumerate(res_dsizes):
+            rb = params[f"resblocks_{i * num_kernels + j}"]
+            ob = {}
+            for li, d in enumerate(rds):
+                for group, dd in (("convs1", d), ("convs2", 1)):
+                    cp = rb[f"{group}_{li}"]["conv"]
+                    kern = (
+                        pk.prepare_convk(cast(cp["kernel"]), dd, p_cur)
+                        if p_cur > 1 else cast(cp["kernel"])
+                    )
+                    ob[f"{group}_{li}"] = {"conv": {
+                        "kernel": kern, "bias": cast(cp["bias"]),
+                    }}
+            out[f"resblocks_{i * num_kernels + j}"] = ob
+        p_prev = p_cur
+    out["conv_post"] = {"conv": {
+        "kernel": pk.prepare_conv_to_flat(
+            cast(params["conv_post"]["conv"]["kernel"]), p_prev
+        ),
+        "bias": cast(params["conv_post"]["conv"]["bias"]),
+    }}
+    if "m_source" in params:
+        out["m_source"] = params["m_source"]  # l_linear stays f32/raw
+    return out
+
+
+class PackedGeneratorRunner:
+    """Functional prepared-params runner for :class:`Generator`.
+
+    Usage (serving / benchmarking):
+        runner = PackedGeneratorRunner(gen)            # static config only
+        prepared = jax.jit(runner.prepare)(variables)  # once, tiny program
+        wav = jax.jit(runner)(prepared, mel, f0, rng)  # prepared as ARGUMENT
+
+    Keeping ``prepared`` a jit argument (not a closure constant) keeps the
+    forward executable small — see prepare_packed_trunk_params.
+    """
+
+    def __init__(self, gen: "Generator", dtype: Optional[jnp.dtype] = None):
+        self.gen = gen
+        self.dtype = dtype
+
+    def prepare(self, variables) -> dict:
+        return prepare_packed_trunk_params(
+            variables["params"],
+            rates=self.gen.upsample_rates,
+            ksizes=self.gen.upsample_kernel_sizes,
+            init_ch=self.gen.upsample_initial_channel,
+            res_ksizes=self.gen.resblock_kernel_sizes,
+            res_dsizes=self.gen.resblock_dilation_sizes,
+            has_source=True,
+            dtype=self.dtype,
+        )
+
+    def __call__(
+        self,
+        prepared: dict,
+        mel: jnp.ndarray,
+        f0: Optional[jnp.ndarray] = None,
+        rng: Optional[jax.Array] = None,
+        har_source: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """mel: [B, T, M] natural-log; rng=None -> deterministic source."""
+        gen = self.gen
+        if har_source is None:
+            lin = prepared["m_source"]["l_linear"]
+            har = flat_har_source(
+                f0, gen.upp, gen.sampling_rate, 8, rng,
+                lin["kernel"], lin["bias"],
+            )
+        else:
+            har = har_source[..., 0]
+        return packed_hifigan_trunk(
+            prepared, mel, har,
+            rates=gen.upsample_rates,
+            ksizes=gen.upsample_kernel_sizes,
+            init_ch=gen.upsample_initial_channel,
+            res_ksizes=gen.resblock_kernel_sizes,
+            res_dsizes=gen.resblock_dilation_sizes,
+            prepared=True,
+        )
 
 
 def _packed_forward(net: "Generator", mel, f0, har_source, deterministic):
@@ -598,9 +783,9 @@ def _packed_forward(net: "Generator", mel, f0, har_source, deterministic):
 
     Reads the SAME params as the linen path (``net.variables``). Numerics:
     identical op semantics to linen (parity-tested); with the stochastic
-    source the noise REALISATION differs (see flat_har_source). Runs in f32
-    (net.dtype is ignored here; bf16 measured negative on this net's linen
-    path).
+    source the noise REALISATION differs (see flat_har_source). ``net.dtype``
+    selects the trunk compute dtype (bf16 is a measured win HERE, unlike on
+    the linen path where it was 0.98x: the packed trunk is traffic-bound).
     """
     params = net.variables["params"]
     if har_source is None:
@@ -618,4 +803,5 @@ def _packed_forward(net: "Generator", mel, f0, har_source, deterministic):
         init_ch=net.upsample_initial_channel,
         res_ksizes=net.resblock_kernel_sizes,
         res_dsizes=net.resblock_dilation_sizes,
+        dtype=net.dtype,
     )

@@ -111,6 +111,58 @@ def conv3_mixing_matrices(kernel, dilation, pack_):
     return convk_mixing_matrices(kernel, dilation, pack_)
 
 
+def _convk_tap_range(k: int, dilation: int, pack_: int) -> Tuple[int, int]:
+    taps = tuple(dilation * (j - k // 2) for j in range(k))
+    _, qs = _convk_selector(taps, pack_)
+    return min(qs), max(qs)
+
+
+def prepare_convk(
+    kernel: jnp.ndarray, dilation: int, pack_: int
+) -> jnp.ndarray:
+    """Dense contiguous tap stack [nq, P*Cin, P*Cout] for
+    :func:`packed_convk_prepared` (missing row offsets get zero matrices).
+
+    Building this INSIDE the jitted forward makes XLA constant-fold the
+    selector einsums against closure-captured params — measured ~300 MB
+    executables and 500+ s cold compiles for the NSF generator; preparing
+    once outside and passing the stacks as jit ARGUMENTS keeps programs
+    small and cold starts fast.
+    """
+    m, qs = convk_mixing_matrices(kernel, dilation, pack_)
+    k, cin, cout = kernel.shape
+    qmin, qmax = _convk_tap_range(k, dilation, pack_)
+    taps = []
+    for q in range(qmin, qmax + 1):
+        if q in qs:
+            taps.append(m[qs.index(q)])
+        else:
+            taps.append(jnp.zeros((pack_ * cin, pack_ * cout), m.dtype))
+    return jnp.stack(taps, axis=0)  # [nq, P*Cin, P*Cout]
+
+
+def packed_convk_prepared(
+    xp: jnp.ndarray,
+    kern: jnp.ndarray,
+    bias: jnp.ndarray | None,
+    k: int,
+    dilation: int,
+    cin: int,
+) -> jnp.ndarray:
+    """Apply a :func:`prepare_convk` tap stack. k/dilation/cin are the
+    ORIGINAL conv's static geometry (they pin the stack's row offsets)."""
+    p = xp.shape[-1] // cin
+    qmin, qmax = _convk_tap_range(k, dilation, p)
+    out = jax.lax.conv_general_dilated(
+        xp.astype(kern.dtype), kern, (1,), [(-qmin, qmax)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(xp.dtype)
+    if bias is not None:
+        out = out + jnp.tile(bias, p).astype(out.dtype)
+    return out
+
+
 def packed_convk(
     xp: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -129,27 +181,11 @@ def packed_convk(
     per row offset) leaves dozens of unfused pad/add ops in the TPU HLO and
     goes pure-traffic-bound (round-3 finding).
     """
-    pc = xp.shape[-1]
-    p = pc // cin
-    cout = kernel.shape[-1]
-    m, qs = convk_mixing_matrices(kernel, dilation, p)
-    qmin, qmax = min(qs), max(qs)
-    # dense contiguous tap stack (missing offsets get zero matrices)
-    taps = []
-    for q in range(qmin, qmax + 1):
-        if q in qs:
-            taps.append(m[qs.index(q)])
-        else:
-            taps.append(jnp.zeros((p * cin, p * cout), m.dtype))
-    kern = jnp.stack(taps, axis=0)  # [nq, P*Cin, P*Cout]
-    out = jax.lax.conv_general_dilated(
-        xp.astype(kern.dtype), kern, (1,), [(-qmin, qmax)],
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(xp.dtype)
-    if bias is not None:
-        out = out + jnp.tile(bias, p).astype(out.dtype)
-    return out
+    p = xp.shape[-1] // cin
+    kern = prepare_convk(kernel, dilation, p)
+    return packed_convk_prepared(
+        xp, kern, bias, kernel.shape[0], dilation, cin
+    )
 
 
 def packed_conv3(xp, kernel, bias, dilation, cin):
@@ -277,14 +313,21 @@ def packed_strided_conv_from_flat(
     flat [B, T] array (full lanes) instead of a [B, T, 1] tensor that would
     tile at 1/128 lane occupancy.
     """
-    k, one, cout = kernel.shape
-    assert one == 1
-    b, t = a.shape
+    kern = prepare_strided_conv_from_flat(kernel, stride, padding, p)
+    return packed_strided_conv_from_flat_prepared(
+        a, kern, bias, kernel.shape[0], stride, padding, p
+    )
+
+
+@functools.lru_cache(maxsize=256)
+def _strided_flat_selector(
+    k: int, stride: int, padding: int, p: int
+) -> Tuple[np.ndarray, int, int]:
+    """Selector [nd, stride*P, P, k] + (dmin, dmax) row-offset range.
+
+    Output t_out = j*P + g draws sample m = g*stride - padding + u relative
+    to row j's start; split m into (row delta, in-row position)."""
     sp_ = stride * p
-    assert t % sp_ == 0, (t, stride, p)
-    rows = a.reshape(b, t // sp_, sp_)
-    # output t_out = j*P + g draws sample m = g*stride - padding + u relative
-    # to row j's start; split m into (row delta, in-row position)
     dmin = (0 - padding) // sp_
     dmax = ((p - 1) * stride - padding + k - 1) // sp_
     sel = np.zeros((dmax - dmin + 1, sp_, p, k), np.float32)
@@ -293,30 +336,52 @@ def packed_strided_conv_from_flat(
             m = g * stride - padding + u
             d, q = divmod(m, sp_)
             sel[d - dmin, q, g, u] = 1.0
-    kern = jnp.einsum(
+    return sel, dmin, dmax
+
+
+def prepare_strided_conv_from_flat(
+    kernel: jnp.ndarray, stride: int, padding: int, p: int
+) -> jnp.ndarray:
+    """Row-conv kernel [nd, stride*P, P*Cout] for the prepared apply."""
+    k, one, cout = kernel.shape
+    assert one == 1
+    sel, dmin, dmax = _strided_flat_selector(k, stride, padding, p)
+    return jnp.einsum(
         "dqgu,uic->dqgc", jnp.asarray(sel, kernel.dtype), kernel
-    ).reshape(dmax - dmin + 1, sp_, p * cout)
+    ).reshape(dmax - dmin + 1, stride * p, p * cout)
+
+
+def packed_strided_conv_from_flat_prepared(
+    a: jnp.ndarray,
+    kern: jnp.ndarray,
+    bias: jnp.ndarray | None,
+    k: int,
+    stride: int,
+    padding: int,
+    p: int,
+) -> jnp.ndarray:
+    b, t = a.shape
+    sp_ = stride * p
+    assert t % sp_ == 0, (t, stride, p)
+    rows = a.reshape(b, t // sp_, sp_)
+    _, dmin, dmax = _strided_flat_selector(k, stride, padding, p)
     out = jax.lax.conv_general_dilated(
-        rows.astype(kernel.dtype),
+        rows.astype(kern.dtype),
         kern,
         (1,), [(-dmin, dmax)],
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=jnp.float32,
-    ).astype(kernel.dtype)
+    ).astype(kern.dtype)
     if bias is not None:
         out = out + jnp.tile(bias, p).astype(out.dtype)
     return out
 
 
-def packed_conv_to_flat(
-    xp: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None, cin: int
-) -> jnp.ndarray:
-    """Final conv: packed [B, S, P*Cin] -> [B, S*P] (Cout=1, odd k, SAME)."""
-    k, _, cout = kernel.shape
+def prepare_conv_to_flat(kernel: jnp.ndarray, p: int) -> jnp.ndarray:
+    """Tap stack [nq, P*Cin, P] for :func:`packed_conv_to_flat_prepared`."""
+    k, cin, cout = kernel.shape
     assert cout == 1 and k % 2 == 1
     half = k // 2
-    b, s, pc = xp.shape
-    p = pc // cin
     qmin = -((half + p - 1) // p)
     qmax = (half + p - 1) // p
     taps = []
@@ -333,15 +398,35 @@ def packed_conv_to_flat(
                 "abt,tio->aibo", jnp.asarray(sel, kernel.dtype), kernel
             ).reshape(p * cin, p)
         )
-    kern = jnp.stack(taps, axis=0)  # [nq, P*Cin, P]
+    return jnp.stack(taps, axis=0)  # [nq, P*Cin, P]
+
+
+def packed_conv_to_flat_prepared(
+    xp: jnp.ndarray, kern: jnp.ndarray, bias: jnp.ndarray | None, k: int,
+    cin: int,
+) -> jnp.ndarray:
+    half = k // 2
+    b, s, pc = xp.shape
+    p = pc // cin
+    qmin = -((half + p - 1) // p)
+    qmax = (half + p - 1) // p
     out = jax.lax.conv_general_dilated(
         xp.astype(kern.dtype), kern, (1,), [(-qmin, qmax)],
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=jnp.float32,
-    ).astype(kernel.dtype)
+    ).astype(kern.dtype)
     if bias is not None:
         out = out + bias[0].astype(out.dtype)
     return out.reshape(b, s * p)
+
+
+def packed_conv_to_flat(
+    xp: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None, cin: int
+) -> jnp.ndarray:
+    """Final conv: packed [B, S, P*Cin] -> [B, S*P] (Cout=1, odd k, SAME)."""
+    p = xp.shape[-1] // cin
+    kern = prepare_conv_to_flat(kernel, p)
+    return packed_conv_to_flat_prepared(xp, kern, bias, kernel.shape[0], cin)
 
 
 # ---- ConvTranspose1d (torch semantics), packed output -----------------------
@@ -422,10 +507,19 @@ def packed_conv_transpose_packed_in(
     j = (J+delta)*P + p_in; so u = stride*P*delta + stride*p_in - phi*P
     - p_out + pad, independent of J -> a [n_delta, P*Cin, stride*P*Cout]
     row-conv kernel."""
-    k, _, cout = kernel.shape
-    assert k == 2 * stride
-    b, sp_, pc = xp.shape
-    p = pc // cin
+    p = xp.shape[-1] // cin
+    kern = prepare_conv_transpose_packed_in(kernel, stride, padding, p)
+    return packed_conv_transpose_packed_in_prepared(
+        xp, kern, bias, kernel.shape[0], stride, padding, cin
+    )
+
+
+@functools.lru_cache(maxsize=256)
+def _convt_selector(
+    k: int, stride: int, padding: int, p: int
+) -> Tuple[np.ndarray, int, int]:
+    """Selector [nd, P, stride, P, k] + trimmed (dmin, dmax) for the
+    packed-in transposed conv."""
     pad = k - 1 - padding
     sp_p = stride * p
     # delta range from 0 <= u < k over all (p_in, phi, p_out)
@@ -446,17 +540,41 @@ def packed_conv_transpose_packed_in(
         sel.pop(0)
     while sel and not sel[-1][1].any():
         sel.pop()
-    dmin = sel[0][0]
-    dmax = sel[-1][0]
     sel_np = np.stack([s for _, s in sel], axis=0)  # [nd, P, stride, P, k]
+    return sel_np, sel[0][0], sel[-1][0]
+
+
+def prepare_conv_transpose_packed_in(
+    kernel: jnp.ndarray, stride: int, padding: int, p: int
+) -> jnp.ndarray:
+    """Row-conv kernel [nd, P*Cin, stride*P*Cout] for the prepared apply."""
+    k, cin, cout = kernel.shape
+    sel_np, dmin, dmax = _convt_selector(k, stride, padding, p)
     # -> [nd, p_in, cin, phi, p_out, cout]: lane order phase-major so the
     # final [B, S, stride*P*Cout] -> [B, S*stride, P*Cout] reshape is free
     kern = jnp.einsum(
         "dnfou,uic->dnifoc", jnp.asarray(sel_np, kernel.dtype), kernel
     )
+    return kern.reshape(len(sel_np), p * cin, stride * p * cout)
+
+
+def packed_conv_transpose_packed_in_prepared(
+    xp: jnp.ndarray,
+    kern: jnp.ndarray,
+    bias: jnp.ndarray | None,
+    k: int,
+    stride: int,
+    padding: int,
+    cin: int,
+) -> jnp.ndarray:
+    assert k == 2 * stride
+    b, sp_, pc = xp.shape
+    p = pc // cin
+    cout = kern.shape[-1] // (stride * p)
+    _, dmin, dmax = _convt_selector(k, stride, padding, p)
     y = jax.lax.conv_general_dilated(
         xp.astype(kern.dtype),
-        kern.reshape(len(sel), p * cin, sp_p * cout),
+        kern,
         (1,), [(-dmin, dmax)],
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=jnp.float32,

@@ -77,6 +77,31 @@ class NsfHifiGAN(BaseVocoder):
 
         return run
 
+    @functools.cached_property
+    def _packed_runner(self):
+        """(runner, prepared-params) for the packed serving path: the
+        selector-GEMM kernels are packed ONCE at load instead of being
+        rebuilt in-graph every forward (~60 MB of mixing matrices), and the
+        prepared tree rides as a jit argument so the forward executable
+        stays small (see models/nsf_hifigan.py:prepare_packed_trunk_params).
+        """
+        from prodiff_tpu.models.nsf_hifigan import PackedGeneratorRunner
+
+        runner = PackedGeneratorRunner(self.model)
+        prepared = jax.jit(runner.prepare)(self.params)
+
+        @functools.partial(jax.jit, static_argnames=("deterministic",))
+        def run(prepared, mel_ln, f0, rng, deterministic=False):
+            return runner(prepared, mel_ln, f0, None if deterministic else rng)
+
+        return run, prepared
+
+    def _packed_active(self, t_mel: int) -> bool:
+        up = self.model.use_packed
+        if up is None:
+            up = jax.devices()[0].platform in ("tpu", "axon")
+        return bool(up) and self.model._packed_supported(t_mel)
+
     def spec2wav_batch(self, mel, f0, rng=None, deterministic=None):
         """mel: [B, T, M] log10 -> wav [B, T*upp] (jitted, device arrays).
 
@@ -85,8 +110,15 @@ class NsfHifiGAN(BaseVocoder):
         if deterministic is None:
             deterministic = bool(self.hparams.get("vocoder_deterministic", False))
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        mel = jnp.asarray(mel)
+        if self._packed_active(mel.shape[1]):
+            run, prepared = self._packed_runner
+            return run(
+                prepared, mel * LOG10_TO_LN, jnp.asarray(f0), rng,
+                deterministic=deterministic,
+            )
         return self._jitted(
-            self.params, jnp.asarray(mel) * LOG10_TO_LN, jnp.asarray(f0), rng,
+            self.params, mel * LOG10_TO_LN, jnp.asarray(f0), rng,
             deterministic=deterministic,
         )
 

@@ -19,6 +19,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# NOTE: do NOT enable the persistent compilation cache here — XLA:CPU AOT
+# entries record pseudo machine features (+prefer-no-scatter) the loader
+# can't match on this host, so every lookup fails loudly and slows the suite.
+# The cache is for the TPU entry points (bench.py, main.py, __graft_entry__).
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -120,6 +120,51 @@ def test_flat_har_source_noise_stats():
     assert abs(got_std - expect_std) / expect_std < 0.15, (got_std, expect_std)
 
 
+def test_prepared_runner_matches_linen():
+    """PackedGeneratorRunner (prepared params as jit args) == linen."""
+    from prodiff_tpu.models.nsf_hifigan import PackedGeneratorRunner
+
+    t_mel = 12
+    gen_lin, _ = _gens()
+    mel = jnp.asarray(RNG.normal(size=(1, t_mel, 128)).astype(np.float32))
+    f0 = _f0(1, t_mel)
+    params = gen_lin.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, mel, f0
+    )
+    want = gen_lin.apply(params, mel, f0, deterministic=True)
+    runner = PackedGeneratorRunner(gen_lin)
+    prepared = jax.jit(runner.prepare)(params)
+    got = jax.jit(runner)(prepared, mel, f0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+    # har-source branch too
+    har = jnp.asarray(
+        RNG.normal(size=(1, t_mel * gen_lin.upp, 1)).astype(np.float32) * 0.1
+    )
+    want2 = gen_lin.apply(params, mel, har_source=har)
+    got2 = runner(prepared, mel, har_source=har)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=2e-4)
+
+
+def test_prepared_runner_bf16_close():
+    """bf16-baked prepared trunk stays within bf16 tolerance of f32 linen."""
+    from prodiff_tpu.models.nsf_hifigan import PackedGeneratorRunner
+
+    t_mel = 8
+    gen_lin, _ = _gens()
+    mel = jnp.asarray(RNG.normal(size=(1, t_mel, 128)).astype(np.float32))
+    f0 = _f0(1, t_mel)
+    params = gen_lin.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, mel, f0
+    )
+    want = np.asarray(gen_lin.apply(params, mel, f0, deterministic=True))
+    runner = PackedGeneratorRunner(gen_lin, dtype=jnp.bfloat16)
+    got = np.asarray(runner(runner.prepare(params), mel, f0))
+    assert got.dtype == np.float32
+    # waveform in [-1, 1]; bf16 has ~3 decimal digits
+    assert np.abs(got - want).max() < 0.05, np.abs(got - want).max()
+    assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.999
+
+
 def test_packed_plain_hifigan_matches_linen():
     """128ch plain HiFiGAN (no pitch source): every stage is C < 128 packed."""
     from prodiff_tpu.models.hifigan import HifiGanGenerator
