@@ -307,12 +307,12 @@ def bench_train_step(bf16: bool = False):
 
 
 def main():
-    """Default: the primary north-star pipeline only (compiles through the
-    remote relay are slow; the full sweep is behind --full).
-    Round-2 full-sweep numbers on TPU v5e (2026-08-16, Pallas WaveNet default):
-    e2e_prodiff2_fastdiff4_rtf=0.00391 (5.1x vs the 0.02 target),
-    acoustic_4step_rtf=0.000357 (241k mel frames/s), e2e_nsf_hifigan_rtf=0.0039,
-    train 26.8 ms/step f32 / 15.9 ms/step bf16 (1.55M frames/s/chip)."""
+    """Default: the BASELINE pipelines (bf16-train variant behind --full).
+    Round-3 numbers on TPU v5e (2026-08-17, packed trunks + params-as-args):
+    e2e_prodiff2_fastdiff4_rtf=0.00218 (9.2x vs the 0.02 target),
+    acoustic_4step_rtf=5.8e-05 (1.48M mel frames/s, denoiser 79% MFU),
+    e2e_nsf_hifigan_rtf=0.00121 (7.2 ms), train 24.9 ms/step f32 (40% MFU) /
+    ~15.9 ms/step bf16."""
     import sys
 
     full = "--full" in sys.argv

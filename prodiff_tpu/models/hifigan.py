@@ -186,6 +186,50 @@ class HifiGanGenerator(nn.Module):
         return jnp.tanh(x)[..., 0]
 
 
+class PackedHifiGanRunner:
+    """Functional prepared-params runner for :class:`HifiGanGenerator`
+    (same contract as models/nsf_hifigan.py:PackedGeneratorRunner: prepare
+    once, pass the prepared tree as a jit ARGUMENT)."""
+
+    def __init__(self, gen: "HifiGanGenerator", dtype=None):
+        self.gen = gen
+        self.dtype = dtype
+
+    def prepare(self, variables) -> dict:
+        from prodiff_tpu.models.nsf_hifigan import prepare_packed_trunk_params
+
+        return prepare_packed_trunk_params(
+            variables["params"],
+            rates=self.gen.upsample_rates,
+            ksizes=self.gen.upsample_kernel_sizes,
+            init_ch=self.gen.upsample_initial_channel,
+            res_ksizes=self.gen.resblock_kernel_sizes,
+            res_dsizes=self.gen.resblock_dilation_sizes,
+            has_source=self.gen.use_pitch_embed,
+            dtype=self.dtype,
+        )
+
+    def __call__(self, prepared, mel, f0=None, rng=None):
+        gen = self.gen
+        upp = int(np.prod(gen.upsample_rates))
+        har = None
+        if gen.use_pitch_embed and f0 is not None:
+            lin = prepared["m_source"]["l_linear"]
+            har = flat_har_source(
+                f0, upp, gen.audio_sample_rate, 8, rng,
+                lin["kernel"], lin["bias"], samplewise_ini=True,
+            )
+        return packed_hifigan_trunk(
+            prepared, mel, har,
+            rates=gen.upsample_rates,
+            ksizes=gen.upsample_kernel_sizes,
+            init_ch=gen.upsample_initial_channel,
+            res_ksizes=gen.resblock_kernel_sizes,
+            res_dsizes=gen.resblock_dilation_sizes,
+            prepared=True,
+        )
+
+
 def _packed_forward(net: "HifiGanGenerator", mel, f0):
     """Packed-trunk forward (same params as linen). The harmonic source uses
     the flat planar formulation with parallel_wavegan initial-phase semantics

@@ -96,15 +96,45 @@ class HifiGAN(BaseVocoder):
 
         return run, run_nof0
 
+    @functools.cached_property
+    def _packed_runner(self):
+        """Prepared-params serving path: kernels packed once at load, the
+        prepared tree passed as a jit argument (see NsfHifiGAN)."""
+        from prodiff_tpu.models.hifigan import PackedHifiGanRunner
+
+        runner = PackedHifiGanRunner(self.model)
+        prepared = jax.jit(runner.prepare)(self.params)
+
+        @jax.jit
+        def run(prepared, mel, f0, rng):
+            return runner(prepared, mel, f0, rng)
+
+        @jax.jit
+        def run_nof0(prepared, mel):
+            return runner(prepared, mel)
+
+        return run, run_nof0, prepared
+
+    def _packed_active(self, t_mel: int) -> bool:
+        up = self.model.use_packed
+        if up is None:
+            up = jax.devices()[0].platform in ("tpu", "axon")
+        return bool(up) and self.model._packed_supported(t_mel)
+
     def spec2wav(self, mel, f0=None, rng=None, **kwargs):
         """mel: [T, M] (generator-native log-mel convention) -> wav."""
-        run, run_nof0 = self._jitted
         c = jnp.asarray(np.asarray(mel, np.float32))[None]
-        if f0 is not None and self.hparams.get("use_nsf"):
-            rng = rng if rng is not None else jax.random.PRNGKey(0)
-            wav = run(self.params, c, jnp.asarray(np.asarray(f0, np.float32))[None], rng)
+        with_f0 = f0 is not None and self.hparams.get("use_nsf")
+        if self._packed_active(c.shape[1]):
+            run, run_nof0, params = self._packed_runner
         else:
-            wav = run_nof0(self.params, c)
+            run, run_nof0 = self._jitted
+            params = self.params
+        if with_f0:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            wav = run(params, c, jnp.asarray(np.asarray(f0, np.float32))[None], rng)
+        else:
+            wav = run_nof0(params, c)
         wav_out = np.asarray(wav[0])
         if self.hparams.get("vocoder_denoise_c", 0.0) > 0:
             wav_out = denoise(

@@ -196,6 +196,20 @@ def test_packed_pitch_hifigan_finite():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_packed_hifigan_runner_matches_linen():
+    from prodiff_tpu.models.hifigan import HifiGanGenerator, PackedHifiGanRunner
+
+    t_mel = 16
+    gen = HifiGanGenerator(use_packed=False)
+    mel = jnp.asarray(RNG.normal(size=(1, t_mel, 80)).astype(np.float32))
+    params = gen.init(jax.random.PRNGKey(0), mel)
+    want = gen.apply(params, mel)
+    runner = PackedHifiGanRunner(gen)
+    prepared = jax.jit(runner.prepare)(params)
+    got = jax.jit(lambda p, m: runner(p, m))(prepared, mel)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
 def test_flat_har_source_samplewise_matches_cumsum():
     """samplewise_ini phase semantics == parallel_wavegan mod-1 cumsum
     (frame-constant f0), through the l_linear + tanh head."""
