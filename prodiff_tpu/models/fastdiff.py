@@ -483,7 +483,12 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps):
         else:
             # low-rate blocks (hop < 128): per-window GEMMs are too small for
             # the fused kernel; the XLA einsum path at 1/32..1/4 audio rate
-            # is cheap. One unpack/repack pair per block.
+            # is cheap. One unpack/repack pair per block. (A fully-packed XLA
+            # variant was tried round-3 — taps via lane-roll time shifts +
+            # (tap,cin)-contracting einsums — and measured SLOWER both as a
+            # sublane tap stack (3.36 ms vs 3.11 B=1) and as a lane concat
+            # (3.38/13.97 vs 3.11/12.8 at B=1/4): the window-build copies
+            # outweigh the [T, 32] lane-padding they avoid at this rate.)
             x = pk.unpack(xp, cin)
             ad = pk.unpack(adp, cin)
             for i in range(net.lvc_layers_each_block):
