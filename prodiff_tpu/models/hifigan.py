@@ -191,9 +191,14 @@ class PackedHifiGanRunner:
     (same contract as models/nsf_hifigan.py:PackedGeneratorRunner: prepare
     once, pass the prepared tree as a jit ARGUMENT)."""
 
-    def __init__(self, gen: "HifiGanGenerator", dtype=None):
+    def __init__(self, gen: "HifiGanGenerator", dtype=None,
+                 fused_res_dtype="auto"):
         self.gen = gen
         self.dtype = dtype
+        if fused_res_dtype == "auto":
+            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+            fused_res_dtype = jnp.bfloat16 if on_tpu else None
+        self.fused_res_dtype = fused_res_dtype
 
     def prepare(self, variables) -> dict:
         from prodiff_tpu.models.nsf_hifigan import prepare_packed_trunk_params
@@ -207,6 +212,7 @@ class PackedHifiGanRunner:
             res_dsizes=self.gen.resblock_dilation_sizes,
             has_source=self.gen.use_pitch_embed,
             dtype=self.dtype,
+            fused_res_dtype=self.fused_res_dtype,
         )
 
     def __call__(self, prepared, mel, f0=None, rng=None):

@@ -583,6 +583,16 @@ def packed_hifigan_trunk(
                 xs = pk.unpack(xs, c_cur)
             x = x + xs
         # resblocks (mean of num_kernels ResBlock1s)
+        if prepared and f"resfused_{i}" in params:
+            from prodiff_tpu.ops.pallas.resblock import resblock_group_packed
+
+            rf = params[f"resfused_{i}"]
+            x = resblock_group_packed(
+                x, rf["w"], rf["b"], res_ksizes, res_dsizes, max(p_cur, 1),
+                interpret=jax.devices()[0].platform not in ("tpu", "axon"),
+            )
+            p_prev = p_cur
+            continue
         xs_sum = None
         for j, (rk, rds) in enumerate(zip(res_ksizes, res_dsizes)):
             rb = params[f"resblocks_{i * num_kernels + j}"]
@@ -644,6 +654,7 @@ def prepare_packed_trunk_params(
     res_dsizes: Sequence[Sequence[int]],
     has_source: bool,
     dtype: Optional[jnp.dtype] = None,
+    fused_res_dtype: Optional[jnp.dtype] = None,
 ) -> dict:
     """Pre-pack a HiFiGAN-family param tree for
     ``packed_hifigan_trunk(prepared=True)``.
@@ -655,9 +666,16 @@ def prepare_packed_trunk_params(
     selector einsums into a ~300 MB executable with 500+ s cold compiles
     (measured, NSF scale); the prepared tree keeps the forward program small
     and the weights resident on device. ``dtype`` bakes a bf16 trunk.
+
+    ``fused_res_dtype``: additionally pack each 128-lane stage's resblock
+    ensemble for the fused Pallas kernel (ops/pallas/resblock.py) in that
+    dtype (bf16 = MXU at the bf16 rate with f32 accumulation).
     """
     from prodiff_tpu.ops import packed as pk
 
+    assert dtype is None or fused_res_dtype is None, (
+        "the fused resblock kernel runs an f32 trunk (casts are in-kernel)"
+    )
     cast = (lambda t: t.astype(dtype)) if dtype is not None else (lambda t: t)
     n_up = len(rates)
     num_kernels = len(res_ksizes)
@@ -695,20 +713,49 @@ def prepare_packed_trunk_params(
                 ),
                 "bias": cast(ncp["bias"]),
             }}
-        for j, rds in enumerate(res_dsizes):
-            rb = params[f"resblocks_{i * num_kernels + j}"]
-            ob = {}
-            for li, d in enumerate(rds):
-                for group, dd in (("convs1", d), ("convs2", 1)):
-                    cp = rb[f"{group}_{li}"]["conv"]
-                    kern = (
-                        pk.prepare_convk(cast(cp["kernel"]), dd, p_cur)
-                        if p_cur > 1 else cast(cp["kernel"])
-                    )
-                    ob[f"{group}_{li}"] = {"conv": {
-                        "kernel": kern, "bias": cast(cp["bias"]),
-                    }}
-            out[f"resblocks_{i * num_kernels + j}"] = ob
+        c_i = init_ch // (2 ** (i + 1))
+        fuse = fused_res_dtype is not None and max(p_cur, 1) * c_i == 128
+        if fuse:
+            # weights must fit VMEM next to the row tiles (18.6M scoped OOM
+            # observed at rows=2048; 1024-row tiles + <=6M of tap stacks fit)
+            from prodiff_tpu.ops.pallas.resblock import stage_meta
+
+            convs_meta, _, _ = stage_meta(
+                tuple(res_ksizes), tuple(map(tuple, res_dsizes)),
+                max(p_cur, 1),
+            )
+            wbytes = sum(len(qs) for qs in convs_meta) * 128 * 128 * (
+                2 if fused_res_dtype == jnp.bfloat16 else 4
+            )
+            # f32 126-tap stage (8.3M) measured fine at 1024-row tiles
+            fuse = wbytes <= 9 * 2 ** 20
+        if fuse:
+            from prodiff_tpu.ops.pallas.resblock import prepare_resblock_stage
+
+            stage_rbs = [
+                params[f"resblocks_{i * num_kernels + j}"]
+                for j in range(num_kernels)
+            ]
+            w, bs = prepare_resblock_stage(
+                stage_rbs, res_ksizes, res_dsizes, max(p_cur, 1),
+                dtype=fused_res_dtype,
+            )
+            out[f"resfused_{i}"] = {"w": w, "b": bs}
+        else:
+            for j, rds in enumerate(res_dsizes):
+                rb = params[f"resblocks_{i * num_kernels + j}"]
+                ob = {}
+                for li, d in enumerate(rds):
+                    for group, dd in (("convs1", d), ("convs2", 1)):
+                        cp = rb[f"{group}_{li}"]["conv"]
+                        kern = (
+                            pk.prepare_convk(cast(cp["kernel"]), dd, p_cur)
+                            if p_cur > 1 else cast(cp["kernel"])
+                        )
+                        ob[f"{group}_{li}"] = {"conv": {
+                            "kernel": kern, "bias": cast(cp["bias"]),
+                        }}
+                out[f"resblocks_{i * num_kernels + j}"] = ob
         p_prev = p_cur
     out["conv_post"] = {"conv": {
         "kernel": pk.prepare_conv_to_flat(
@@ -731,11 +778,24 @@ class PackedGeneratorRunner:
 
     Keeping ``prepared`` a jit argument (not a closure constant) keeps the
     forward executable small — see prepare_packed_trunk_params.
+
+    ``fused_res_dtype``: dtype for the fused resblock Pallas kernel's tap
+    stacks — "auto" = bf16 on TPU backends, off elsewhere (the XLA packed
+    convs stay); None = off; a dtype = forced (f32 for exact parity tests).
     """
 
-    def __init__(self, gen: "Generator", dtype: Optional[jnp.dtype] = None):
+    def __init__(
+        self,
+        gen: "Generator",
+        dtype: Optional[jnp.dtype] = None,
+        fused_res_dtype="auto",
+    ):
         self.gen = gen
         self.dtype = dtype
+        if fused_res_dtype == "auto":
+            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+            fused_res_dtype = jnp.bfloat16 if on_tpu else None
+        self.fused_res_dtype = fused_res_dtype
 
     def prepare(self, variables) -> dict:
         return prepare_packed_trunk_params(
@@ -747,6 +807,7 @@ class PackedGeneratorRunner:
             res_dsizes=self.gen.resblock_dilation_sizes,
             has_source=True,
             dtype=self.dtype,
+            fused_res_dtype=self.fused_res_dtype,
         )
 
     def __call__(

@@ -1,0 +1,237 @@
+"""Fused HiFiGAN ResBlock-group kernel on the packed [B, S, 128] trunk.
+
+One ``pallas_call`` per upsample stage computes the whole resblock ensemble
+(reference ``modules/nsf_hifigan/models.py:39-102``: mean over ResBlock1s of
+kernel sizes 3/7/11, each three (leaky -> dilated conv -> leaky -> conv ->
++residual) units), entirely in VMEM:
+
+    out = mean_j ResBlock1_j(x)          (18 convolutions per stage)
+
+Why a kernel, and why bf16: the packed selector-GEMM convs inflate FLOPs by
+~nq*P/k per conv, which makes the XLA packed trunk ~84% MXU-f32-BOUND at
+generator scale (sum ~540 GFLOP -> 5.5 ms at f32 peak vs 6.5 measured). The
+f32->bf16 lever is blocked in XLA: its conv emitter rejects these bf16 NWC
+convs and decomposes them into pad+reduce VPU overlap-adds (measured SLOWER,
+see CLAUDE.md round-3). Inside Pallas, each tap is an explicit ``jnp.dot``
+with bf16 operands and f32 accumulation — straight onto the MXU at the bf16
+rate — and the stage's 36 conv-sized HBM round-trips collapse to one read +
+one write of x.
+
+Tap offsets are the SPARSE row-offset sets from ops/packed.py's selector
+(the dense stacks carry zero matrices); sequence ends are re-zeroed after
+every conv+bias so the chained convs reproduce lax SAME zero-padding
+exactly (the conv-of-padding rows would otherwise carry bias).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from prodiff_tpu.ops.packed import _convk_selector, convk_mixing_matrices
+
+LRELU_SLOPE = 0.1  # HiFiGAN-family slope (FastDiff's UBlock uses 0.2)
+
+
+def _leaky(x):
+    return jnp.where(x >= 0, x, LRELU_SLOPE * x)
+
+
+def _conv_qs(k: int, d: int, p: int) -> Tuple[int, ...]:
+    taps = tuple(d * (j - k // 2) for j in range(k))
+    _, qs = _convk_selector(taps, p)
+    return qs
+
+
+@functools.lru_cache(maxsize=64)
+def stage_meta(
+    res_ksizes: Tuple[int, ...],
+    res_dsizes: Tuple[Tuple[int, ...], ...],
+    p: int,
+) -> Tuple[Tuple[Tuple[int, ...], ...], Tuple[int, ...], int]:
+    """Static kernel metadata for one stage.
+
+    Returns (per-conv sparse row offsets in (resblock, unit, conv1/conv2)
+    order; per-resblock total reach; DMA halo rounded to sublanes)."""
+    convs = []
+    reaches = []
+    for k, ds in zip(res_ksizes, res_dsizes):
+        reach = 0
+        for d in ds:
+            qs1 = _conv_qs(k, d, p)
+            qs2 = _conv_qs(k, 1, p)
+            convs.append(qs1)
+            convs.append(qs2)
+            reach += max(qs1) + max(qs2)
+        reaches.append(reach)
+    halo = (max(reaches) + 7) // 8 * 8
+    return tuple(convs), tuple(reaches), halo
+
+
+def prepare_resblock_stage(
+    stage_params: Sequence[dict],
+    res_ksizes: Sequence[int],
+    res_dsizes: Sequence[Sequence[int]],
+    p: int,
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Concatenated sparse tap stacks + lane-tiled biases for one stage.
+
+    stage_params: the stage's resblock param dicts (convs1_i/convs2_i ->
+    {"conv": {"kernel", "bias"}}), one per resblock, linen layout.
+    Returns (weights [sum_nq, P*C, P*C] ``dtype``, biases [n_convs, P*C] f32).
+    """
+    mats = []
+    biases = []
+    for rb, (k, ds) in zip(stage_params, zip(res_ksizes, res_dsizes)):
+        for li, d in enumerate(ds):
+            for group, dd in (("convs1", d), ("convs2", 1)):
+                cp = rb[f"{group}_{li}"]["conv"]
+                m, qs = convk_mixing_matrices(
+                    cp["kernel"].astype(dtype), dd, p
+                )  # sparse [nq, P*C, P*C]
+                mats.append(m)
+                biases.append(jnp.tile(cp["bias"].astype(jnp.float32), p))
+    return jnp.concatenate(mats, axis=0), jnp.stack(biases, axis=0)
+
+
+def resblock_group_packed(
+    xp: jnp.ndarray,
+    weights: jnp.ndarray,
+    biases: jnp.ndarray,
+    res_ksizes: Sequence[int],
+    res_dsizes: Sequence[Sequence[int]],
+    p: int,
+    rows_per_block: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out = mean_j ResBlock1_j(xp), fused.
+
+    xp: [B, S, CL] f32 packed rows (CL == P*C == 128); weights/biases from
+    :func:`prepare_resblock_stage` (weights may be bf16 — the dots accumulate
+    f32); returns [B, S, CL] f32.
+    """
+    b, s, cl = xp.shape
+    assert cl == 128, cl
+    convs, reaches, halo = stage_meta(
+        tuple(res_ksizes), tuple(map(tuple, res_dsizes)), p
+    )
+    n_res = len(res_ksizes)
+    rows = min(rows_per_block, s)
+    while s % rows:
+        rows //= 2
+    nblk = s // rows
+    ext = rows + 2 * halo
+
+    xpad = jnp.pad(xp, [(0, 0), (halo, halo), (0, 0)])
+    wsizes = [len(qs) for qs in convs]
+    woff = np.concatenate([[0], np.cumsum(wsizes)])
+
+    def kernel(x_hbm, w_ref, b_ref, out_ref, xs, sem):
+        bi = pl.program_id(0)
+        n = pl.program_id(1)
+
+        def dma(slot, blk, bb):
+            return pltpu.make_async_copy(
+                x_hbm.at[bb, pl.ds(blk * rows, ext)], xs.at[slot],
+                sem.at[slot],
+            )
+
+        g = bi * nblk + n
+
+        @pl.when(g == 0)
+        def _():
+            dma(0, 0, 0).start()
+
+        g1 = g + 1
+
+        @pl.when(g1 < pl.num_programs(0) * nblk)
+        def _():
+            dma(g1 % 2, g1 % nblk, g1 // nblk).start()
+
+        dma(g % 2, n, bi).wait()
+        x_t = xs[g % 2]  # [ext, CL] f32; row r is global row n*rows - halo + r
+
+        # sequence-end mask helper: global row of local row r at ``origin``
+        # shift o is n*rows - halo + o + r; rows outside [0, s) are re-zeroed
+        # after every conv+bias (lax SAME zero-padding semantics)
+        def mask_seq(y, origin):
+            e = y.shape[0]
+            r = jax.lax.broadcasted_iota(jnp.int32, (e, cl), 0)
+            gr = n * rows - halo + origin + r
+            return jnp.where((gr >= 0) & (gr < s), y, 0.0)
+
+        def conv(y, ci, origin):
+            """y: [E, CL] f32 at ``origin``; returns ([E', CL] f32, origin')
+            with E' = E - (qmax - qmin), origin' = origin - qmin."""
+            qs = convs[ci]
+            qmin, qmax = min(qs), max(qs)
+            e_out = y.shape[0] - (qmax - qmin)
+            yb = y.astype(weights.dtype)
+            acc = None
+            for qi, q in enumerate(qs):
+                contrib = jax.lax.dot_general(
+                    yb[q - qmin : q - qmin + e_out],
+                    w_ref[int(woff[ci]) + qi],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = contrib if acc is None else acc + contrib
+            acc = acc + b_ref[ci][None, :]
+            return mask_seq(acc, origin - qmin), origin - qmin
+
+        out = None
+        ci = 0
+        for j in range(n_res):
+            h = x_t
+            o_h = 0
+            for _ in range(len(res_dsizes[j])):
+                xt, o = conv(_leaky(h), ci, o_h)
+                ci += 1
+                xt, o = conv(_leaky(xt), ci, o)
+                ci += 1
+                shift = o - o_h
+                h = xt + h[shift : shift + xt.shape[0]]
+                o_h = o
+            # center slice to the block's `rows` (origin `halo` in x_t space)
+            lo = halo - o_h
+            hc = h[lo : lo + rows]
+            out = hc if out is None else out + hc
+        out_ref[0] = out * (1.0 / n_res)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nblk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (int(woff[-1]), cl, cl), lambda bi, n: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (len(convs), cl), lambda bi, n: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows, cl), lambda bi, n: (bi, n, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, s, cl), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, ext, cl), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * s * cl * cl * int(woff[-1]),
+            bytes_accessed=4 * b * s * cl * 2
+            + weights.dtype.itemsize * int(woff[-1]) * cl * cl,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xpad, weights, biases)

@@ -165,6 +165,40 @@ def test_prepared_runner_bf16_close():
     assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.999
 
 
+def test_fused_resblock_kernel_matches_linen():
+    """Fused Pallas resblock group (interpret, f32 taps) == linen resblocks."""
+    from prodiff_tpu.models.nsf_hifigan import PackedGeneratorRunner
+
+    t_mel = 8
+    gen_lin, _ = _gens()
+    mel = jnp.asarray(RNG.normal(size=(1, t_mel, 128)).astype(np.float32))
+    f0 = _f0(1, t_mel)
+    params = gen_lin.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, mel, f0
+    )
+    want = gen_lin.apply(params, mel, f0, deterministic=True)
+    runner = PackedGeneratorRunner(gen_lin, fused_res_dtype=jnp.float32)
+    got = runner(runner.prepare(params), mel, f0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)
+
+
+def test_fused_resblock_kernel_bf16_close():
+    from prodiff_tpu.models.nsf_hifigan import PackedGeneratorRunner
+
+    t_mel = 6
+    gen_lin, _ = _gens()
+    mel = jnp.asarray(RNG.normal(size=(1, t_mel, 128)).astype(np.float32))
+    f0 = _f0(1, t_mel)
+    params = gen_lin.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, mel, f0
+    )
+    want = np.asarray(gen_lin.apply(params, mel, f0, deterministic=True))
+    runner = PackedGeneratorRunner(gen_lin, fused_res_dtype=jnp.bfloat16)
+    got = np.asarray(runner(runner.prepare(params), mel, f0))
+    assert np.abs(got - want).max() < 0.05, np.abs(got - want).max()
+    assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.999
+
+
 def test_packed_plain_hifigan_matches_linen():
     """128ch plain HiFiGAN (no pitch source): every stage is C < 128 packed."""
     from prodiff_tpu.models.hifigan import HifiGanGenerator
