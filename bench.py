@@ -231,6 +231,42 @@ def bench_e2e_nsf_hifigan():
     return dt / audio_sec, {"wall_ms": round(dt * 1000, 2)}
 
 
+def bench_batched_segments(n_seg: int = 4):
+    """Song-level batched-segment serving (round-2 verdict #4): a song's
+    same-bucket segments render in ONE acoustic + vocoder dispatch at B=n_seg
+    (infer/handler.py batch_segments). Reports per-segment wall vs B=1."""
+    from prodiff_tpu.models.nsf_hifigan import Generator, PackedGeneratorRunner
+
+    rng = np.random.default_rng(4)
+    T_mel, n_mels = 512, 128
+    out = {}
+    for B in (1, n_seg):
+        acoustic, inputs, tparams = _teacher(n_mels, rng, B, 16, T_mel, 4)
+        f0 = inputs[2]
+        gen = Generator()
+        gparams = jax.jit(gen.init)(
+            {"params": jax.random.PRNGKey(4), "noise": jax.random.PRNGKey(5)},
+            jnp.zeros((B, T_mel, n_mels)), f0,
+        )
+        runner = PackedGeneratorRunner(gen)
+        prepared = jax.jit(runner.prepare)(gparams)
+
+        def e2e(rng_key, eps, c):
+            tp, gp = c
+            mel = acoustic(rng_key, eps, tp)
+            return runner(gp, mel * 2.30259, f0 + eps, rng_key)
+
+        dt = _measure(
+            _chain(e2e, jax.random.PRNGKey(11), consts=(tparams, prepared))
+        )
+        out[B] = dt / B
+    return {
+        "seg_b1_ms": round(out[1] * 1000, 2),
+        f"seg_b{n_seg}_per_seg_ms": round(out[n_seg] * 1000, 2),
+        "seg_batch_speedup": round(out[1] / out[n_seg], 2),
+    }
+
+
 def bench_train_step(bf16: bool = False):
     """BASELINE config 5 flavour: teacher training throughput on one chip
     (reference budget: max_tokens 32k frames/batch/GPU). ``bf16`` measures
@@ -331,6 +367,7 @@ def main():
     extras["nsf_wall_ms"] = ex["wall_ms"]
     if full:
         extras.update(bench_train_step(bf16=True))
+        extras.update(bench_batched_segments())
     rtf_e2e, ex = bench_e2e_fastdiff()
     extras.update({f"e2e_{k}": v for k, v in ex.items()})
     extras["device"] = str(jax.devices()[0])
