@@ -277,10 +277,8 @@ class FastDiff(nn.Module):
             and all(r % 2 == 0 for r in self.upsample_ratios)
         )
 
-    @nn.compact
-    def __call__(self, audio, c, diffusion_steps):
-        """audio: [B, T, 1]; c: [B, L, cond] (T == L * prod(ratios));
-        diffusion_steps: [B, 1] -> epsilon [B, T, 1]."""
+    def packed_active(self, l_cond: int) -> bool:
+        """Whether a call with L=l_cond mel frames takes the packed trunk."""
         use_packed = self.use_packed
         if use_packed is None:
             # auto: packed trunk on TPU backends (measured v5e: 1.31x at B=1,
@@ -289,14 +287,26 @@ class FastDiff(nn.Module):
             # path is inference-only (no VJP through the fused kernel); pass
             # use_packed=False / fastdiff_packed: false to force linen.
             use_packed = jax.devices()[0].platform in ("tpu", "axon")
-        if (
-            use_packed
-            and not self.is_initializing()
+        return (
+            bool(use_packed)
             and self._packed_supported()
             # smallest pyramid rate is L samples; every rate must pack evenly
-            and c.shape[1] % (128 // self.inner_channels) == 0
-        ):
-            return _packed_forward(self, audio, c, diffusion_steps)
+            and l_cond % (128 // self.inner_channels) == 0
+        )
+
+    @nn.compact
+    def __call__(self, audio, c, diffusion_steps, kp_out=None):
+        """audio: [B, T, 1]; c: [B, L, cond] (T == L * prod(ratios));
+        diffusion_steps: [B, 1] -> epsilon [B, T, 1].
+
+        ``kp_out``: optional precomputed KernelPredictor outputs (one
+        (kflat, bflat) pair per LVC block — fastdiff_step_kernels indexed at
+        this call's step). They depend only on (c, diffusion_steps), so a
+        sampler can hoist them out of its step loop. Packed path only.
+        """
+        if not self.is_initializing() and self.packed_active(c.shape[1]):
+            return _packed_forward(self, audio, c, diffusion_steps, kp_out)
+        assert kp_out is None, "kp_out requires the packed trunk"
         emb = diffusion_step_embedding(diffusion_steps, self.diffusion_step_embed_dim_in)
         emb = swish(nn.Dense(self.diffusion_step_embed_dim_mid, name="fc_t1")(emb))
         emb = swish(nn.Dense(self.diffusion_step_embed_dim_out, name="fc_t2")(emb))
@@ -353,13 +363,15 @@ _SKIP_FINAL = False
 _SKIP_RESIDUAL_DENSE = False
 
 
-def _packed_forward(net: "FastDiff", audio, c, diffusion_steps):
+def _packed_forward(net: "FastDiff", audio, c, diffusion_steps, kp_out=None):
     """Whole-net forward on the packed [B, T/P, 128] trunk.
 
     Reads the SAME params as the linen path (``net.variables``); the layer
     loop runs as fused UBlock Pallas kernels (ops/pallas/ublock.py), the
     pyramid edges as packed matmul ops (ops/packed.py). Inference only —
-    training/golden paths use the linen formulation.
+    training/golden paths use the linen formulation. ``kp_out``: per-block
+    precomputed (kflat, bflat) — the step embedding + KernelPredictor are
+    skipped entirely (they are the only consumers of diffusion_steps).
     """
     from prodiff_tpu.ops import packed as pk
     from prodiff_tpu.ops.pallas.ublock import ublock_layer_packed
@@ -374,9 +386,12 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps):
         w = parent[name]["kernel"]
         return x @ w + parent[name]["bias"]
 
-    emb = diffusion_step_embedding(diffusion_steps, net.diffusion_step_embed_dim_in)
-    emb = swish(dense("fc_t1", emb))
-    emb = swish(dense("fc_t2", emb))
+    if kp_out is None:
+        emb = diffusion_step_embedding(
+            diffusion_steps, net.diffusion_step_embed_dim_in
+        )
+        emb = swish(dense("fc_t1", emb))
+        emb = swish(dense("fc_t2", emb))
 
     if _SKIP_FIRST:
         xp = jnp.broadcast_to(
@@ -417,30 +432,37 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps):
         r = net.upsample_ratios[n]
         cond_hop *= r
         bp = params[f"lvc_blocks_{n}"]
-        noise = dense("fc_t", emb, parent=bp)
-        condition = c + noise[:, None, :]
-        # On TPU the KP runs with a bf16 compute dtype so kernel_conv EMITS
-        # bf16 (params stay f32): XLA computes these convs in bf16 internally
-        # regardless (default TPU conv precision), and a separate
-        # f32->bf16 astype pass on the ~50 MB output measured 0.33 ms.
-        kp = KernelPredictor(
-            conv_in_channels=cin,
-            conv_out_channels=2 * cin,
-            conv_layers=net.lvc_layers_each_block,
-            conv_kernel_size=net.lvc_kernel_size,
-            hidden_channels=net.kpnet_hidden_channels,
-            conv_size=net.kpnet_conv_size,
-            flat=True,
-            dtype=None if interpret else jnp.bfloat16,
-        )
-        if _SKIP_KP:
-            shapes = jax.eval_shape(
-                lambda c_: kp.apply({"params": bp["kernel_predictor"]}, c_), condition
-            )
-            kflat = jnp.zeros(shapes[0].shape, shapes[0].dtype)
-            bflat = jnp.zeros(shapes[1].shape, shapes[1].dtype)
+        if kp_out is not None:
+            kflat, bflat = kp_out[n]
         else:
-            kflat, bflat = kp.apply({"params": bp["kernel_predictor"]}, condition)
+            noise = dense("fc_t", emb, parent=bp)
+            condition = c + noise[:, None, :]
+            # On TPU the KP runs with a bf16 compute dtype so kernel_conv
+            # EMITS bf16 (params stay f32): XLA computes these convs in bf16
+            # internally regardless (default TPU conv precision), and a
+            # separate f32->bf16 astype pass on the ~50 MB output measured
+            # 0.33 ms.
+            kp = KernelPredictor(
+                conv_in_channels=cin,
+                conv_out_channels=2 * cin,
+                conv_layers=net.lvc_layers_each_block,
+                conv_kernel_size=net.lvc_kernel_size,
+                hidden_channels=net.kpnet_hidden_channels,
+                conv_size=net.kpnet_conv_size,
+                flat=True,
+                dtype=None if interpret else jnp.bfloat16,
+            )
+            if _SKIP_KP:
+                shapes = jax.eval_shape(
+                    lambda c_: kp.apply({"params": bp["kernel_predictor"]}, c_),
+                    condition,
+                )
+                kflat = jnp.zeros(shapes[0].shape, shapes[0].dtype)
+                bflat = jnp.zeros(shapes[1].shape, shapes[1].dtype)
+            else:
+                kflat, bflat = kp.apply(
+                    {"params": bp["kernel_predictor"]}, condition
+                )
         # the LVC bias is rolled in-kernel and Mosaic can't roll bf16; it is
         # tiny ([B, L, 2C*layers]) so f32 costs nothing
         bflat = bflat.astype(jnp.float32)
@@ -515,6 +537,57 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps):
     return out[..., None].astype(jnp.float32)
 
 
+def fastdiff_step_kernels(net: "FastDiff", variables, c, steps):
+    """Precompute the KernelPredictor outputs for a fixed set of diffusion
+    steps (packed-path layout: flat conv outputs, bf16 on TPU).
+
+    The KP depends only on (c, step) — not on the waveform — so a sampler
+    can run it ONCE per segment, batched over its n steps, instead of once
+    per reverse iteration (3 KPs x n steps -> 3 batched KPs).
+
+    c: [B, L, cond]; steps: [n] (the schedule's fractional step indices).
+    Returns a list over LVC blocks of (kflat [n, B, L, K], bflat f32).
+    """
+    params = variables["params"]
+    n = steps.shape[0]
+    b, L, _ = c.shape
+    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+
+    def dense(name, x, parent=params):
+        return x @ parent[name]["kernel"] + parent[name]["bias"]
+
+    emb = diffusion_step_embedding(
+        steps.reshape(n, 1), net.diffusion_step_embed_dim_in
+    )  # [n, D_in]
+    emb = swish(dense("fc_t1", emb))
+    emb = swish(dense("fc_t2", emb))
+
+    out = []
+    for blk in range(len(net.upsample_ratios)):
+        bp = params[f"lvc_blocks_{blk}"]
+        noise = dense("fc_t", emb, parent=bp)  # [n, cond]
+        condition = c[None] + noise[:, None, None, :]  # [n, B, L, cond]
+        kp = KernelPredictor(
+            conv_in_channels=net.inner_channels,
+            conv_out_channels=2 * net.inner_channels,
+            conv_layers=net.lvc_layers_each_block,
+            conv_kernel_size=net.lvc_kernel_size,
+            hidden_channels=net.kpnet_hidden_channels,
+            conv_size=net.kpnet_conv_size,
+            flat=True,
+            dtype=None if interpret else jnp.bfloat16,
+        )
+        kflat, bflat = kp.apply(
+            {"params": bp["kernel_predictor"]},
+            condition.reshape(n * b, L, -1),
+        )
+        out.append((
+            kflat.reshape(n, b, L, -1),
+            bflat.reshape(n, b, L, -1).astype(jnp.float32),
+        ))
+    return out
+
+
 # ---- diffusion hyperparams + sampling ----------------------------------------
 
 
@@ -583,13 +656,18 @@ def sampling_given_noise_schedule(
     steps_infer: np.ndarray,
     init_noise: Optional[jnp.ndarray] = None,
     step_noises: Optional[jnp.ndarray] = None,
+    kp_all=None,
 ) -> jnp.ndarray:
     """Reverse epsilon-prediction diffusion as a lax.scan
     (``util.py:158-234``). cond: [B, L, C] -> wav [B, audio_length].
     ``init_noise`` [B, L_audio, 1] / ``step_noises`` [n, B, L_audio, 1] inject
     the randomness explicitly (deterministic output / golden parity); the
     last step's noise entry is masked out exactly like the reference's n==0
-    branch."""
+    branch.
+
+    ``kp_all``: hoisted per-step KernelPredictor outputs
+    (:func:`fastdiff_step_kernels` over ``steps_infer``). When given,
+    ``apply_fn`` must accept a fifth argument — this step's kp_out slice."""
     b = cond.shape[0]
     n = len(steps_infer)
     if init_noise is None or step_noises is None:
@@ -620,7 +698,15 @@ def sampling_given_noise_schedule(
         alpha_n = consts[1][i]
         sigma_n = consts[2][i]
         step_n = consts[3][i]
-        eps = apply_fn(params, x[..., None], cond, jnp.full((b, 1), step_n))[..., 0]
+        if kp_all is not None:
+            kp_i = jax.tree.map(lambda a: a[i], kp_all)
+            eps = apply_fn(
+                params, x[..., None], cond, jnp.full((b, 1), step_n), kp_i
+            )[..., 0]
+        else:
+            eps = apply_fn(
+                params, x[..., None], cond, jnp.full((b, 1), step_n)
+            )[..., 0]
         x = x - beta_n / jnp.sqrt(1 - alpha_n ** 2) * eps
         x = x / jnp.sqrt(1 - beta_n)
         x = jnp.where(i > 0, x + sigma_n * noise, x)

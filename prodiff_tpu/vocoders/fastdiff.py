@@ -108,13 +108,31 @@ class FastDiff(BaseVocoder):
 
     @functools.cached_property
     def _jitted(self):
-        apply_fn = lambda params, x, c, t: self.model.apply(params, x, c, t)
+        from prodiff_tpu.models.fastdiff import fastdiff_step_kernels
 
         @functools.partial(jax.jit, static_argnames=("audio_length",))
         def run(params, cond, rng, audio_length):
+            # hoisting materialises [n_steps, B, L, layers*k*2C^2] kernels —
+            # fine for the 4/6/8-step schedules, ruinous for the 1000-step one
+            if self.model.packed_active(cond.shape[1]) and len(self.steps_infer) <= 16:
+                # hoist the KernelPredictors out of the reverse loop (their
+                # outputs depend only on (cond, step) — one batched KP per
+                # block instead of one per reverse step)
+                kp_all = fastdiff_step_kernels(
+                    self.model, params, cond,
+                    jnp.asarray(self.steps_infer, jnp.float32),
+                )
+                return sampling_given_noise_schedule(
+                    lambda p, x, c, t, k: self.model.apply(p, x, c, t, kp_out=k),
+                    params, rng, audio_length, cond,
+                    self.beta_infer, self.alpha_infer, self.sigma_infer,
+                    self.steps_infer, kp_all=kp_all,
+                )
             return sampling_given_noise_schedule(
-                apply_fn, params, rng, audio_length, cond,
-                self.beta_infer, self.alpha_infer, self.sigma_infer, self.steps_infer,
+                lambda p, x, c, t: self.model.apply(p, x, c, t),
+                params, rng, audio_length, cond,
+                self.beta_infer, self.alpha_infer, self.sigma_infer,
+                self.steps_infer,
             )
 
         return run

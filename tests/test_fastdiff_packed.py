@@ -60,6 +60,44 @@ def test_packed_sampling_matches_linen():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_hoisted_kp_sampling_matches_per_step():
+    """Sampler with hoisted KernelPredictor outputs == per-step recompute."""
+    from prodiff_tpu.models.fastdiff import (
+        compute_hyperparams_given_schedule,
+        fastdiff_step_kernels,
+        prepare_inference_schedule,
+        sampling_given_noise_schedule,
+    )
+    from prodiff_tpu.vocoders.fastdiff import NOISE_SCHEDULES
+
+    b, L, hop = 1, 4, 256
+    t = L * hop
+    net_p = FastDiff(cond_channels=16, use_packed=True)
+    audio0 = jnp.zeros((b, t, 1))
+    cond = jnp.asarray(RNG.normal(size=(b, L, 16)).astype(np.float32))
+    params = net_p.init(jax.random.PRNGKey(0), audio0, cond, jnp.zeros((b, 1)))
+    dh = compute_hyperparams_given_schedule(np.linspace(1e-6, 0.01, 1000))
+    bi, ai, si, steps = prepare_inference_schedule(NOISE_SCHEDULES[4], dh["alpha"])
+    init = jnp.asarray(RNG.normal(size=(b, t, 1)).astype(np.float32))
+    step_n = jnp.asarray(RNG.normal(size=(len(steps), b, t, 1)).astype(np.float32))
+
+    want = np.asarray(sampling_given_noise_schedule(
+        lambda p, x, c, tt: net_p.apply(p, x, c, tt),
+        params, jax.random.PRNGKey(1), t, cond, bi, ai, si, steps,
+        init_noise=init, step_noises=step_n,
+    ))
+    kp_all = fastdiff_step_kernels(
+        net_p, params, cond, jnp.asarray(steps, jnp.float32)
+    )
+    got = np.asarray(sampling_given_noise_schedule(
+        lambda p, x, c, tt, k: net_p.apply(p, x, c, tt, kp_out=k),
+        params, jax.random.PRNGKey(1), t, cond, bi, ai, si, steps,
+        init_noise=init, step_noises=step_n, kp_all=kp_all,
+    ))
+    # the batched KP convs schedule differently than per-step ones: ~1e-5
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 def test_packed_falls_back_on_odd_length():
     # L=6 doesn't pack at the smallest pyramid rate -> linen path, same result
     net = FastDiff(cond_channels=16, use_packed=True)
