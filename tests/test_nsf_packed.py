@@ -266,6 +266,48 @@ def test_flat_har_source_samplewise_matches_cumsum():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
 
 
+def test_packed_gates():
+    """Architecture gates: unsupported shapes must refuse the packed trunk."""
+    from prodiff_tpu.models.hifigan import HifiGanGenerator
+
+    assert Generator()._packed_supported(16)
+    # ResBlock2 variant: not packed
+    assert not Generator(resblock="2")._packed_supported(16)
+    # kernel != 2*stride upsamples: not packed
+    assert not Generator(upsample_kernel_sizes=(15, 16, 4, 4, 4))._packed_supported(16)
+    # channels that never drop below 128: nothing to pack
+    assert not HifiGanGenerator(upsample_initial_channel=2048)._packed_supported(16)
+    # c_out != 1: plain HiFiGAN gate refuses
+    assert not HifiGanGenerator(c_out=2)._packed_supported(16)
+
+
+def test_wrapper_packed_flag_respected():
+    """nsf_packed: false forces the linen path in the serving wrapper."""
+    from prodiff_tpu.vocoders.nsf_hifigan import NsfHifiGAN
+
+    t_mel = 8
+    gen = Generator()
+    mel = jnp.asarray(RNG.normal(size=(1, t_mel, 128)).astype(np.float32))
+    f0 = _f0(1, t_mel)
+    params = gen.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, mel, f0
+    )
+    h = {"num_mels": 128, "sampling_rate": 44100,
+         "upsample_initial_channel": 512, "upsample_rates": [8, 8, 2, 2, 2],
+         "upsample_kernel_sizes": [16, 16, 4, 4, 4], "resblock": "1",
+         "resblock_kernel_sizes": [3, 7, 11],
+         "resblock_dilation_sizes": [[1, 3, 5]] * 3}
+    voc_off = NsfHifiGAN({"nsf_packed": False}, params=params, config=h)
+    assert voc_off.model.use_packed is False
+    assert not voc_off._packed_active(t_mel)
+    voc_on = NsfHifiGAN({"nsf_packed": True}, params=params, config=h)
+    assert voc_on._packed_active(t_mel)
+    # forced-on renders match the linen render (deterministic source)
+    want = voc_off.spec2wav_batch(np.asarray(mel), np.asarray(f0), deterministic=True)
+    got = voc_on.spec2wav_batch(np.asarray(mel), np.asarray(f0), deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
 def test_sine_gen_unchanged_by_refactor():
     """sine_gen's public behaviour (golden-tested vs torch) must be stable."""
     f0 = _f0(1, 6)
