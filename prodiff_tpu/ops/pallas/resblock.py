@@ -85,7 +85,10 @@ def prepare_resblock_stage(
 
     stage_params: the stage's resblock param dicts (convs1_i/convs2_i ->
     {"conv": {"kernel", "bias"}}), one per resblock, linen layout.
-    Returns (weights [sum_nq, P*C, P*C] ``dtype``, biases [n_convs, P*C] f32).
+    Returns (weights [sum_nq * P*C, P*C] ``dtype`` — tap stacks FLATTENED on
+    rows so the kernel's fat-dot path slices [nq*CL, CL] blocks without a
+    VMEM reshape (Mosaic rejects leading-dim merges of VMEM values) —
+    and biases [n_convs, P*C] f32).
     """
     mats = []
     biases = []
@@ -96,7 +99,7 @@ def prepare_resblock_stage(
                 m, qs = convk_mixing_matrices(
                     cp["kernel"].astype(dtype), dd, p
                 )  # sparse [nq, P*C, P*C]
-                mats.append(m)
+                mats.append(m.reshape(-1, m.shape[-1]))
                 biases.append(jnp.tile(cp["bias"].astype(jnp.float32), p))
     return jnp.concatenate(mats, axis=0), jnp.stack(biases, axis=0)
 
@@ -109,6 +112,7 @@ def resblock_group_packed(
     res_dsizes: Sequence[Sequence[int]],
     p: int,
     rows_per_block: int = 1024,
+    fat_dots: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """out = mean_j ResBlock1_j(xp), fused.
@@ -171,18 +175,38 @@ def resblock_group_packed(
             """y: [E, CL] f32 at ``origin``; returns ([E', CL] f32, origin')
             with E' = E - (qmax - qmin), origin' = origin - qmin."""
             qs = convs[ci]
+            nq = len(qs)
             qmin, qmax = min(qs), max(qs)
             e_out = y.shape[0] - (qmax - qmin)
             yb = y.astype(weights.dtype)
-            acc = None
-            for qi, q in enumerate(qs):
-                contrib = jax.lax.dot_general(
-                    yb[q - qmin : q - qmin + e_out],
-                    w_ref[int(woff[ci]) + qi],
+            w0 = int(woff[ci]) * cl
+            if fat_dots and nq > 1:
+                # one K = nq*CL contraction per conv: the tap slices land in
+                # a lane-stacked operand against the row-flattened [nq*CL,
+                # CL] weight block — ~7x fewer dot setups per stage. BLOCKED
+                # on current Mosaic (kept for interpret-mode study): tpu.
+                # concatenate rejects operands at different sublane phases
+                # (vpad offsets {0,0}/{1,0}/{2,0}) in ANY dtype, which the
+                # misaligned tap slices inevitably are. Default stays the
+                # per-tap dot loop.
+                stacked = jnp.concatenate(
+                    [y[q - qmin : q - qmin + e_out] for q in qs], axis=1
+                ).astype(weights.dtype)  # [E', nq*CL]
+                acc = jax.lax.dot_general(
+                    stacked, w_ref[w0 : w0 + nq * cl],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                acc = contrib if acc is None else acc + contrib
+            else:
+                acc = None
+                for qi, q in enumerate(qs):
+                    contrib = jax.lax.dot_general(
+                        yb[q - qmin : q - qmin + e_out],
+                        w_ref[w0 + qi * cl : w0 + (qi + 1) * cl],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = contrib if acc is None else acc + contrib
             acc = acc + b_ref[ci][None, :]
             return mask_seq(acc, origin - qmin), origin - qmin
 
@@ -211,7 +235,7 @@ def resblock_group_packed(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (int(woff[-1]), cl, cl), lambda bi, n: (0, 0, 0),
+                (int(woff[-1]) * cl, cl), lambda bi, n: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
