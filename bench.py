@@ -185,9 +185,12 @@ def bench_e2e_fastdiff():
     dh = compute_hyperparams_given_schedule(np.linspace(1e-6, 0.01, 1000))
     bi, ai, si, steps = prepare_inference_schedule(NOISE_SCHEDULES[4], dh["alpha"])
 
-    from prodiff_tpu.models.fastdiff import fastdiff_step_kernels
+    from prodiff_tpu.models.fastdiff import (
+        MAX_HOISTED_STEPS,
+        fastdiff_step_kernels,
+    )
 
-    hoist = net.packed_active(T_mel) and len(steps) <= 16
+    hoist = net.packed_active(T_mel) and len(steps) <= MAX_HOISTED_STEPS
 
     def e2e(rng_key, eps, c):
         tp, fp = c

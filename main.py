@@ -5,14 +5,19 @@ binarize / train / infer / vocode wav2wav / preprocess / web / merge_rectified.
 import click
 
 from prodiff_tpu.config import set_hparams
-from prodiff_tpu.utils.jax_cache import enable_persistent_cache
-
-enable_persistent_cache()  # relay compiles cost minutes; cache across runs
 
 
 @click.group()
 def main():
-    pass
+    # relay compiles cost minutes; cache across runs. Deferred into the group
+    # callback (not module scope) so a broken cache dir can't kill the CLI and
+    # importing main never initialises a jax backend.
+    try:
+        from prodiff_tpu.utils.jax_cache import enable_persistent_cache
+
+        enable_persistent_cache()
+    except Exception:
+        pass
 
 
 @main.command()

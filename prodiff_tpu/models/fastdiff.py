@@ -537,6 +537,13 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps, kp_out=None):
     return out[..., None].astype(jnp.float32)
 
 
+# Hoisting is only a win for short schedules: the precomputed kernels scale
+# with n_steps ([n, B, L, K] per LVC block), so long schedules (e.g. the
+# 1000-step reference alternate) would blow memory for no per-step saving.
+# Shared by bench.py and vocoders/fastdiff.py — keep the gate in ONE place.
+MAX_HOISTED_STEPS = 16
+
+
 def fastdiff_step_kernels(net: "FastDiff", variables, c, steps):
     """Precompute the KernelPredictor outputs for a fixed set of diffusion
     steps (packed-path layout: flat conv outputs, bf16 on TPU).

@@ -127,13 +127,18 @@ def resblock_group_packed(
         tuple(res_ksizes), tuple(map(tuple, res_dsizes)), p
     )
     n_res = len(res_ksizes)
-    rows = min(rows_per_block, s)
-    while s % rows:
-        rows //= 2
-    nblk = s // rows
+    # Block rows: pad S up to a multiple of rows instead of shrinking rows to
+    # a divisor of S — an odd/small-2-adic S would otherwise collapse rows to
+    # 1 (a grid of S programs each DMA-ing 1+2*halo rows: a silent perf
+    # cliff). Padded rows are re-zeroed by mask_seq (which tests against the
+    # TRUE s) after every conv, so they never contaminate real rows, and the
+    # output is sliced back to s.
+    rows = min(rows_per_block, (s + 7) // 8 * 8)
+    nblk = -(-s // rows)
+    s_pad = nblk * rows
     ext = rows + 2 * halo
 
-    xpad = jnp.pad(xp, [(0, 0), (halo, halo), (0, 0)])
+    xpad = jnp.pad(xp, [(0, 0), (halo, halo + (s_pad - s)), (0, 0)])
     wsizes = [len(qs) for qs in convs]
     woff = np.concatenate([[0], np.cumsum(wsizes)])
 
@@ -246,7 +251,7 @@ def resblock_group_packed(
         out_specs=pl.BlockSpec(
             (1, rows, cl), lambda bi, n: (bi, n, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, s, cl), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, cl), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, ext, cl), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -258,4 +263,4 @@ def resblock_group_packed(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xpad, weights, biases)
+    )(xpad, weights, biases)[:, :s]

@@ -16,15 +16,36 @@ from __future__ import annotations
 import os
 
 
+def _intended_platform() -> str:
+    """First platform jax WILL pick, without initialising any backend.
+
+    ``jax.default_backend()`` initialises the backend as a side effect, which
+    poisons later ``jax.config.update('jax_platforms', ...)`` switches — that
+    is exactly how the round-3 multi-chip dryrun regressed (MULTICHIP_r03
+    rc=124). Reading the config value is side-effect free. The axon
+    sitecustomize sets ``jax_platforms='axon,cpu'`` at interpreter start;
+    tests set ``'cpu'`` before anything else runs."""
+    import jax
+
+    platforms = ""
+    try:
+        platforms = jax.config.jax_platforms or ""
+    except AttributeError:
+        platforms = os.environ.get("JAX_PLATFORMS", "") or ""
+    return platforms.split(",")[0].strip().lower()
+
+
 def enable_persistent_cache(path: str | None = None) -> str:
     """Point jax at an on-disk compilation cache (idempotent).
 
     No-op on CPU backends: XLA:CPU AOT entries record pseudo machine
     features (+prefer-no-scatter) that the loader rejects on this host, so
-    CPU lookups always miss — loudly and slowly."""
+    CPU lookups always miss — loudly and slowly. Platform is decided from
+    config/env only; this function must never initialise a jax backend
+    (callers run it at import time, before platform switches)."""
     import jax
 
-    if jax.default_backend() == "cpu":
+    if _intended_platform() in ("", "cpu"):
         return ""
     if path is None:
         # same default dir as bench.py so programs are shared across entries

@@ -108,13 +108,17 @@ class FastDiff(BaseVocoder):
 
     @functools.cached_property
     def _jitted(self):
-        from prodiff_tpu.models.fastdiff import fastdiff_step_kernels
+        from prodiff_tpu.models.fastdiff import (
+            MAX_HOISTED_STEPS,
+            fastdiff_step_kernels,
+        )
 
         @functools.partial(jax.jit, static_argnames=("audio_length",))
         def run(params, cond, rng, audio_length):
             # hoisting materialises [n_steps, B, L, layers*k*2C^2] kernels —
             # fine for the 4/6/8-step schedules, ruinous for the 1000-step one
-            if self.model.packed_active(cond.shape[1]) and len(self.steps_infer) <= 16:
+            if (self.model.packed_active(cond.shape[1])
+                    and len(self.steps_infer) <= MAX_HOISTED_STEPS):
                 # hoist the KernelPredictors out of the reverse loop (their
                 # outputs depend only on (cond, step) — one batched KP per
                 # block instead of one per reverse step)

@@ -96,10 +96,16 @@ class HifiGAN(BaseVocoder):
 
         return run, run_nof0
 
-    @functools.cached_property
+    @property
     def _packed_runner(self):
         """Prepared-params serving path: kernels packed once at load, the
-        prepared tree passed as a jit argument (see NsfHifiGAN)."""
+        prepared tree passed as a jit argument (see NsfHifiGAN). Cached keyed
+        on the params object identity so a checkpoint reload replacing
+        ``self.params`` rebuilds the prepared tree instead of serving stale
+        weights."""
+        cache = getattr(self, "_packed_cache", None)
+        if cache is not None and cache[0] is self.params:
+            return cache[1], cache[2], cache[3]
         from prodiff_tpu.models.hifigan import PackedHifiGanRunner
 
         runner = PackedHifiGanRunner(self.model)
@@ -113,6 +119,7 @@ class HifiGAN(BaseVocoder):
         def run_nof0(prepared, mel):
             return runner(prepared, mel)
 
+        self._packed_cache = (self.params, run, run_nof0, prepared)
         return run, run_nof0, prepared
 
     def _packed_active(self, t_mel: int) -> bool:

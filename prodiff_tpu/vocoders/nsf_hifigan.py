@@ -77,14 +77,21 @@ class NsfHifiGAN(BaseVocoder):
 
         return run
 
-    @functools.cached_property
+    @property
     def _packed_runner(self):
         """(runner, prepared-params) for the packed serving path: the
         selector-GEMM kernels are packed ONCE at load instead of being
         rebuilt in-graph every forward (~60 MB of mixing matrices), and the
         prepared tree rides as a jit argument so the forward executable
         stays small (see models/nsf_hifigan.py:prepare_packed_trunk_params).
+
+        Cached keyed on the params object identity (not cached_property):
+        a checkpoint reload that replaces ``self.params`` must invalidate
+        the prepared tree instead of silently serving stale weights.
         """
+        cache = getattr(self, "_packed_cache", None)
+        if cache is not None and cache[0] is self.params:
+            return cache[1], cache[2]
         from prodiff_tpu.models.nsf_hifigan import PackedGeneratorRunner
 
         runner = PackedGeneratorRunner(self.model)
@@ -94,6 +101,7 @@ class NsfHifiGAN(BaseVocoder):
         def run(prepared, mel_ln, f0, rng, deterministic=False):
             return runner(prepared, mel_ln, f0, None if deterministic else rng)
 
+        self._packed_cache = (self.params, run, prepared)
         return run, prepared
 
     def _packed_active(self, t_mel: int) -> bool:

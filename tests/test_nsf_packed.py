@@ -317,3 +317,99 @@ def test_sine_gen_unchanged_by_refactor():
     # unvoiced head is exactly zero in the deterministic render
     assert float(np.abs(np.asarray(det)[:, : 512, :]).max()) == 0.0
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fused_resblock_kernel_odd_s():
+    """resblock_group_packed with S not divisible by rows_per_block.
+
+    Guards the block-rows picker: an odd / small-2-adic S must pad up to a
+    rows multiple (masked, sliced back) rather than collapse rows to 1
+    (advisor round-3 finding). Ground truth: plain lax dilated convs on the
+    unpacked [B, T, C] tensor.
+    """
+    from prodiff_tpu.ops import packed as pk
+    from prodiff_tpu.ops.pallas.resblock import (
+        prepare_resblock_stage,
+        resblock_group_packed,
+    )
+
+    p, c = 2, 64
+    ksizes = [3, 5]
+    dsizes = [[1, 3], [1, 2]]
+    stage_params = []
+    for k, ds in zip(ksizes, dsizes):
+        rb = {}
+        for li in range(len(ds)):
+            for grp in ("convs1", "convs2"):
+                rb[f"{grp}_{li}"] = {"conv": {
+                    "kernel": jnp.asarray(
+                        RNG.normal(size=(k, c, c)).astype(np.float32) * 0.1),
+                    "bias": jnp.asarray(
+                        RNG.normal(size=(c,)).astype(np.float32) * 0.1),
+                }}
+        stage_params.append(rb)
+
+    def ref(x):
+        outs = []
+        for rb, (k, ds) in zip(stage_params, zip(ksizes, dsizes)):
+            h = x
+            for li, d in enumerate(ds):
+                c1 = rb[f"convs1_{li}"]["conv"]
+                c2 = rb[f"convs2_{li}"]["conv"]
+                xt = jax.nn.leaky_relu(h, 0.1)
+                xt = jax.lax.conv_general_dilated(
+                    xt, c1["kernel"], (1,), "SAME", rhs_dilation=(d,),
+                    dimension_numbers=("NWC", "WIO", "NWC")) + c1["bias"]
+                xt = jax.nn.leaky_relu(xt, 0.1)
+                xt = jax.lax.conv_general_dilated(
+                    xt, c2["kernel"], (1,), "SAME",
+                    dimension_numbers=("NWC", "WIO", "NWC")) + c2["bias"]
+                h = xt + h
+            outs.append(h)
+        return sum(outs) / len(outs)
+
+    w, b = prepare_resblock_stage(
+        stage_params, ksizes, dsizes, p, dtype=jnp.float32)
+    for s in (37, 48, 53):  # odd, rows-multiple, prime
+        x = jnp.asarray(RNG.normal(size=(2, s * p, c)).astype(np.float32))
+        want = pk.pack(ref(x), p)
+        got = resblock_group_packed(
+            pk.pack(x, p), w, b, ksizes, dsizes, p,
+            rows_per_block=16, interpret=True)
+        assert got.shape == (2, s, p * c)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_packed_runner_invalidated_on_params_swap():
+    """A checkpoint reload replacing voc.params must rebuild the prepared
+    packed tree (advisor r3: cached_property served stale weights)."""
+    from prodiff_tpu.vocoders.nsf_hifigan import NsfHifiGAN
+
+    t_mel = 8
+    _, gen_pk = _gens()
+    mel = jnp.asarray(RNG.normal(size=(1, t_mel, 128)).astype(np.float32))
+    f0 = _f0(1, t_mel)
+    p1 = gen_pk.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, mel, f0
+    )
+    p2 = gen_pk.init(
+        {"params": jax.random.PRNGKey(7), "noise": jax.random.PRNGKey(8)}, mel, f0
+    )
+    h = {"num_mels": 128, "sampling_rate": 44100,
+         "upsample_initial_channel": 512, "upsample_rates": [8, 8, 2, 2, 2],
+         "upsample_kernel_sizes": [16, 16, 4, 4, 4], "resblock": "1",
+         "resblock_kernel_sizes": [3, 7, 11],
+         "resblock_dilation_sizes": [[1, 3, 5]] * 3}
+    voc = NsfHifiGAN({"nsf_packed": True}, params=p1, config=h)
+    assert voc._packed_active(t_mel)
+    w1 = np.asarray(voc.spec2wav_batch(np.asarray(mel), np.asarray(f0),
+                                       deterministic=True))
+    voc.params = p2  # checkpoint reload
+    w2 = np.asarray(voc.spec2wav_batch(np.asarray(mel), np.asarray(f0),
+                                       deterministic=True))
+    assert np.abs(w1 - w2).max() > 1e-4, "stale prepared weights served"
+    fresh = NsfHifiGAN({"nsf_packed": True}, params=p2, config=h)
+    w3 = np.asarray(fresh.spec2wav_batch(np.asarray(mel), np.asarray(f0),
+                                         deterministic=True))
+    np.testing.assert_allclose(w2, w3, atol=1e-6)
