@@ -285,12 +285,15 @@ def bench_batched_segments(n_seg: int = 4):
     }
 
 
-def bench_train_step(bf16: bool = False):
+def bench_train_step(precision: str = "default"):
     """BASELINE config 5 flavour: teacher training throughput on one chip
-    (reference budget: max_tokens 32k frames/batch/GPU). ``bf16`` measures
-    the bf16 compute-policy variant — the TPU analogue of the reference's
-    opt-in fp16 AMP (``amp: false`` by default, ``base_config.yaml:61``);
-    measured 1.66x (15.9 ms/step, 1.55M frames/s/chip) with matching loss."""
+    (reference budget: max_tokens 32k frames/batch/GPU).
+
+    ``precision``: "default" = the SHIPPED train default (bf16: null ->
+    resolve_train_bf16 -> bf16 compute policy on TPU, as the train tasks
+    build it; convergence-tested in tests/test_bf16_convergence.py);
+    "f32" forces the reference-parity f32 policy (the round-<=3 default,
+    kept measurable behind --full: 24.9 ms/step, 40% MFU on v5e)."""
     import optax
 
     from __graft_entry__ import _example_inputs, _flagship
@@ -298,11 +301,10 @@ def bench_train_step(bf16: bool = False):
     rng = np.random.default_rng(3)
     B, T_mel, n_mels = 16, 1536, 128  # ~24.6k frames/batch
     model, hp = _flagship(n_mels=n_mels)
-    if bf16:
-        from prodiff_tpu.models.prodiff import ProDiffTeacher
+    from prodiff_tpu.models.prodiff import ProDiffTeacher, resolve_train_bf16
 
-        hp = dict(hp, bf16=True)
-        model = ProDiffTeacher(vocab_size=64, hparams=hp)
+    hp = dict(hp, bf16=False) if precision == "f32" else resolve_train_bf16(hp)
+    model = ProDiffTeacher(vocab_size=64, hparams=hp)
     tokens, mel2ph, f0, lang, spk, mel = _example_inputs(rng, B, 32, T_mel, n_mels)
     params = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
@@ -343,7 +345,7 @@ def bench_train_step(bf16: bool = False):
         return lambda: run_c((params, opt_state))
 
     dt = _measure(make_loop)
-    tag = "train_bf16" if bf16 else "train"
+    tag = "train_f32" if precision == "f32" else "train"
     ex = {
         f"{tag}_step_ms": round(dt * 1000, 1),
         f"{tag}_frames_per_sec": round(B * T_mel / dt, 1),
@@ -361,12 +363,12 @@ def bench_train_step(bf16: bool = False):
 
 
 def main():
-    """Default: the BASELINE pipelines (bf16-train variant behind --full).
-    Round-3 numbers on TPU v5e (2026-08-17, packed trunks + params-as-args):
-    e2e_prodiff2_fastdiff4_rtf=0.00218 (9.2x vs the 0.02 target),
-    acoustic_4step_rtf=5.8e-05 (1.48M mel frames/s, denoiser 79% MFU),
-    e2e_nsf_hifigan_rtf=0.00121 (7.2 ms), train 24.9 ms/step f32 (40% MFU) /
-    ~15.9 ms/step bf16."""
+    """Default: the BASELINE pipelines (f32-train variant behind --full).
+    Round-4 flip: train now measures the SHIPPED default — bf16 compute
+    policy on TPU (convergence-tested), ~14.5 ms/step / 69% MFU on v5e;
+    the f32 reference-parity variant (24.9 ms/step, 40% MFU) moved behind
+    --full. Round-3 inference numbers on v5e: e2e rtf 0.00218 (9.2x vs the
+    0.02 target), acoustic_4step_rtf=5.8e-05, e2e_nsf_hifigan_rtf≈0.0011."""
     import sys
 
     full = "--full" in sys.argv
@@ -384,7 +386,7 @@ def main():
     extras["e2e_nsf_hifigan_rtf"] = round(rtf_nsf, 6)
     extras["nsf_wall_ms"] = ex["wall_ms"]
     if full:
-        extras.update(bench_train_step(bf16=True))
+        extras.update(bench_train_step(precision="f32"))
         extras.update(bench_batched_segments())
     rtf_e2e, ex = bench_e2e_fastdiff()
     extras.update({f"e2e_{k}": v for k, v in ex.items()})

@@ -24,6 +24,29 @@ from prodiff_tpu.models.wavenet import WaveNet
 from prodiff_tpu.ops.seq import mel2ph_to_dur, regulate_hidden
 
 
+def resolve_train_bf16(hp: Dict[str, Any]) -> Dict[str, Any]:
+    """Resolve the tri-state ``bf16`` hparam for TRAINING.
+
+    ``bf16: null`` (the shipped default) = auto: bf16 compute policy on TPU
+    backends, f32 elsewhere; ``true``/``false`` force. The reference's AMP is
+    a train-loop feature (``handler/train/handler.py:254,272-274``), so the
+    auto flip is applied by the train tasks only — inference builds the model
+    from the raw hparams and stays f32 for reference-output parity unless the
+    user opts in (``bf16: true`` / ``amp: true``).
+
+    Evidence for auto-on (round-4 decision): tests/test_bf16_convergence.py —
+    250 steps, identical batches and per-step rng, f32 vs bf16 loss curves
+    agree within 5% on the tail and 8% per 25-step window — plus the measured
+    1.70x step time on v5e (14.5 vs 24.9 ms, 69% vs 40% MFU, BENCH r3).
+    """
+    import jax
+
+    if hp.get("bf16", None) is not None or hp.get("amp", False):
+        return hp
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    return dict(hp, bf16=on_tpu)
+
+
 class ProDiffTeacher(nn.Module):
     vocab_size: int
     hparams: Dict[str, Any]

@@ -94,8 +94,13 @@ class SVSTask(BaseTask):
         self.loss_type_list = list(self.loss_type)
 
     def build_model(self):
+        from prodiff_tpu.models.prodiff import resolve_train_bf16
+
         self.build_phone_encoder()
-        self.model = ProDiffTeacher(len(self.ph_encoder), self.hparams)
+        # bf16: null -> auto-on for TRAINING on TPU (see resolve_train_bf16)
+        self.model = ProDiffTeacher(
+            len(self.ph_encoder), resolve_train_bf16(self.hparams)
+        )
         return self.model
 
     def _model_inputs(self, batch):
@@ -188,13 +193,20 @@ class SVSRectifiedTask(SVSTask):
     dataset_cls = SVSRectifiedDataset
 
     def build_model(self):
-        hp = self.hparams
+        from prodiff_tpu.models.prodiff import resolve_train_bf16
+
+        hp = resolve_train_bf16(self.hparams)
         denoiser = WaveNet(
             in_dims=hp["audio_num_mel_bins"],
             hidden_size=hp["hidden_size"],
             residual_layers=hp["residual_layers"],
             residual_channels=hp["residual_channels"],
             dilation_cycle_length=hp["dilation_cycle_length"],
+            dtype=(
+                jnp.bfloat16
+                if (hp.get("bf16") or hp.get("amp"))
+                else None
+            ),
         )
         if self.diffusion_type == "prodiff":
             self.model = GaussianDiffusion(

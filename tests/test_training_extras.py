@@ -77,3 +77,20 @@ def test_training_actually_learns(tmp_path):
     first = np.mean(losses[:2])
     last = np.mean(losses[-2:])
     assert last < first * 0.6, (first, last)
+
+
+def test_resolve_train_bf16_tristate():
+    """bf16: null = auto (platform-dependent; False on this CPU rig);
+    explicit true/false and amp always win (round-4 default flip)."""
+    from prodiff_tpu.models.prodiff import resolve_train_bf16
+
+    # auto on CPU -> resolved to False, key becomes a concrete bool
+    hp = resolve_train_bf16({"bf16": None})
+    assert hp["bf16"] is False
+    # explicit settings pass through untouched
+    assert resolve_train_bf16({"bf16": True})["bf16"] is True
+    assert resolve_train_bf16({"bf16": False})["bf16"] is False
+    # reference-compat amp: true forces the policy in the model; resolve
+    # leaves it alone
+    hp_amp = {"bf16": None, "amp": True}
+    assert resolve_train_bf16(hp_amp) == hp_amp
