@@ -113,6 +113,7 @@ def test_sine_gen_matches_torch_with_patched_rng(torch_ref, monkeypatch):
     assert np.abs(got[0, 5 * upp :, 0]).mean() < 0.05
 
 
+@pytest.mark.slow
 def test_generator_full_forward_runs(rng):
     jgen = Generator.from_config(H)
     T = 10

@@ -102,6 +102,7 @@ def test_use_pallas_flag_in_module(setup):
     np.testing.assert_allclose(got16, want, atol=5e-3, rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_train_vjp_grads_match_xla(setup):
     """Gradients through the full pallas path (custom VJP, both training
     backends: 'xla' = differentiated plain-XLA stack, 'pallas' = fwd-save

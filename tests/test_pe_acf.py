@@ -31,6 +31,7 @@ def _cents(a, b):
     return 1200 * np.abs(np.log2(np.maximum(a, 1e-9) / np.maximum(b, 1e-9)))
 
 
+@pytest.mark.slow
 def test_pure_tone_accuracy():
     t = np.arange(int(1.0 * SR)) / SR
     for f in [110.0, 220.0, 523.25, 880.0]:

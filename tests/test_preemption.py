@@ -10,6 +10,7 @@ import sys
 import time
 
 import numpy as np
+import pytest
 
 from prodiff_tpu.parallel.mesh import create_mesh
 from prodiff_tpu.tasks import get_task_cls
@@ -20,6 +21,7 @@ from prodiff_tpu.utils.synthetic import make_svs_dataset, small_hparams
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_sigterm_saves_and_resumes(tmp_path):
     data_dir = str(tmp_path)
     make_svs_dataset(data_dir, "svs")
@@ -72,6 +74,7 @@ def test_sigterm_saves_and_resumes(tmp_path):
     assert trainer.global_step == exit_step + 2
 
 
+@pytest.mark.slow
 def test_async_save_writes_identical_checkpoint(tmp_path):
     """async_save=True must produce the same on-disk artifact as sync save."""
     data_dir = str(tmp_path)

@@ -36,6 +36,7 @@ def ref_modules():
     return rmvpe_model, vr_nets
 
 
+@pytest.mark.slow
 def test_rmvpe_e2e0_matches_torch(ref_modules, rng):
     rmvpe_model, _ = ref_modules
     torch.manual_seed(0)
@@ -68,6 +69,7 @@ def test_rmvpe_decode():
     assert np.all(to_local_average_f0(hidden2) == 0)
 
 
+@pytest.mark.slow
 def test_vr_cascadednet_matches_torch(ref_modules, rng):
     _, vr_nets = ref_modules
     n_fft, hop = 256, 128

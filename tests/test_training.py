@@ -58,6 +58,7 @@ def svs_env(tmp_path_factory):
     return hp
 
 
+@pytest.mark.slow
 def test_svs_training_loop_decreases_loss(svs_env):
     hp = dict(svs_env, max_updates=30)
     mesh = create_mesh()  # all 8 cpu devices
@@ -83,6 +84,7 @@ def test_svs_training_loop_decreases_loss(svs_env):
     assert os.path.isdir(os.path.join(hp["work_dir"], "plots"))
 
 
+@pytest.mark.slow
 def test_resume_from_checkpoint(svs_env):
     hp = dict(svs_env, max_updates=40)
     mesh = create_mesh()
@@ -94,6 +96,7 @@ def test_resume_from_checkpoint(svs_env):
     assert steps[-1] == 40
 
 
+@pytest.mark.slow
 def test_svs_rectified_task(tmp_path):
     data_dir = str(tmp_path)
     make_svs_dataset(data_dir, "svs_rectified", rectified=True)
