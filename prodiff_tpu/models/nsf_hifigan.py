@@ -583,6 +583,16 @@ def packed_hifigan_trunk(
                 xs = pk.unpack(xs, c_cur)
             x = x + xs
         # resblocks (mean of num_kernels ResBlock1s)
+        if prepared and f"resstream_{i}" in params:
+            from prodiff_tpu.ops.pallas.resblock import resblock_group_streamed
+
+            rs = params[f"resstream_{i}"]
+            x = resblock_group_streamed(
+                x, rs["w"], rs["b"], res_ksizes, res_dsizes,
+                interpret=jax.devices()[0].platform not in ("tpu", "axon"),
+            )
+            p_prev = p_cur
+            continue
         if prepared and f"resfused_{i}" in params:
             from prodiff_tpu.ops.pallas.resblock import resblock_group_packed
 
@@ -715,7 +725,26 @@ def prepare_packed_trunk_params(
             }}
         c_i = init_ch // (2 ** (i + 1))
         fuse = fused_res_dtype is not None and max(p_cur, 1) * c_i == 128
-        if fuse:
+        # lane-full stages whose tap stacks exceed VMEM (e.g. NSF s0 C=256:
+        # 126 taps * 256^2 bf16 = 16.5 MB) run the weight-STREAMED kernel
+        stream = (
+            fused_res_dtype is not None
+            and p_cur <= 1
+            and c_i > 128
+            and c_i % 128 == 0
+        )
+        if stream:
+            from prodiff_tpu.ops.pallas.resblock import prepare_resblock_stage
+
+            stage_rbs = [
+                params[f"resblocks_{i * num_kernels + j}"]
+                for j in range(num_kernels)
+            ]
+            w, bs = prepare_resblock_stage(
+                stage_rbs, res_ksizes, res_dsizes, 1, dtype=fused_res_dtype
+            )
+            out[f"resstream_{i}"] = {"w": w, "b": bs}
+        elif fuse:
             # weights must fit VMEM next to the row tiles (18.6M scoped OOM
             # observed at rows=2048; 1024-row tiles + <=6M of tap stacks fit)
             from prodiff_tpu.ops.pallas.resblock import stage_meta
@@ -741,7 +770,7 @@ def prepare_packed_trunk_params(
                 dtype=fused_res_dtype,
             )
             out[f"resfused_{i}"] = {"w": w, "b": bs}
-        else:
+        elif not stream:
             for j, rds in enumerate(res_dsizes):
                 rb = params[f"resblocks_{i * num_kernels + j}"]
                 ob = {}

@@ -104,6 +104,168 @@ def prepare_resblock_stage(
     return jnp.concatenate(mats, axis=0), jnp.stack(biases, axis=0)
 
 
+def resblock_group_streamed(
+    x: jnp.ndarray,
+    weights: jnp.ndarray,
+    biases: jnp.ndarray,
+    res_ksizes: Sequence[int],
+    res_dsizes: Sequence[Sequence[int]],
+    rows_per_block: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out = mean_j ResBlock1_j(x) for an UNPACKED full-lane stage.
+
+    The C >= 256 stages (e.g. NSF s0, reference stage list
+    ``modules/nsf_hifigan/models.py:231-288``) are already lane-full, but
+    their tap stacks do NOT fit VMEM next to the row tiles (126 taps *
+    256*256 bf16 = 16.5 MB), so the weights stay in HBM and stream per-conv,
+    double-buffered against the tap dots exactly like the activation halo
+    DMA: while conv ``ci``'s dots run, conv ``ci+1``'s weights are in
+    flight. The per-conv granularity (not per-unit) keeps the DMA count per
+    block EVEN (2 convs per unit), so the slot parity ``ci % 2`` is
+    consistent across grid steps without a dynamic slot index.
+
+    x: [B, S, C] f32 with C % 128 == 0; weights/biases from
+    :func:`prepare_resblock_stage` with ``p=1`` (per-tap stacks are then the
+    raw [C, C] kernel slices); returns [B, S, C] f32.
+
+    rows_per_block=512: the C=256 chain's live f32 intermediates are twice
+    the 128-lane kernel's width — 1024 rows measured 18.31M scoped VMEM
+    (limit 16M) at the standard 3/7/11 stage.
+    """
+    b, s, c = x.shape
+    assert c % 128 == 0, c
+    convs, reaches, halo = stage_meta(
+        tuple(res_ksizes), tuple(map(tuple, res_dsizes)), 1
+    )
+    n_res = len(res_ksizes)
+    n_convs = len(convs)
+    assert n_convs % 2 == 0, n_convs  # 2 convs per unit, always even
+    rows = min(rows_per_block, (s + 7) // 8 * 8)
+    nblk = -(-s // rows)
+    s_pad = nblk * rows
+    ext = rows + 2 * halo
+    total = b * nblk
+
+    xpad = jnp.pad(x, [(0, 0), (halo, halo + (s_pad - s)), (0, 0)])
+    wrows = [len(qs) * c for qs in convs]  # rows per conv in the flat stack
+    woff = np.concatenate([[0], np.cumsum(wrows)])
+    wmax = max(wrows)
+
+    def kernel(x_hbm, w_hbm, b_ref, out_ref, xs, ws, asem, wsem):
+        bi = pl.program_id(0)
+        n = pl.program_id(1)
+        g = bi * nblk + n
+        g1 = g + 1
+
+        def adma(slot, blk, bb):
+            return pltpu.make_async_copy(
+                x_hbm.at[bb, pl.ds(blk * rows, ext)], xs.at[slot],
+                asem.at[slot],
+            )
+
+        def wdma(slot, ci):
+            return pltpu.make_async_copy(
+                w_hbm.at[pl.ds(int(woff[ci]), wrows[ci])],
+                ws.at[slot, pl.ds(0, wrows[ci])],
+                wsem.at[slot],
+            )
+
+        @pl.when(g == 0)
+        def _():
+            adma(0, 0, 0).start()
+            wdma(0, 0).start()
+
+        @pl.when(g1 < total)
+        def _():
+            adma(g1 % 2, g1 % nblk, g1 // nblk).start()
+
+        adma(g % 2, n, bi).wait()
+        x_t = xs[g % 2]  # [ext, C] f32; row r is global row n*rows - halo + r
+
+        def mask_seq(y, origin):
+            e = y.shape[0]
+            r = jax.lax.broadcasted_iota(jnp.int32, (e, c), 0)
+            gr = n * rows - halo + origin + r
+            return jnp.where((gr >= 0) & (gr < s), y, 0.0)
+
+        def conv(y, ci, origin):
+            qs = convs[ci]
+            qmin, qmax = min(qs), max(qs)
+            e_out = y.shape[0] - (qmax - qmin)
+            wdma(ci % 2, ci).wait()
+            if ci + 1 < n_convs:
+                wdma((ci + 1) % 2, ci + 1).start()
+            else:
+                # prefetch conv 0 for the next block (weights identical
+                # across blocks, but the slot rotated through all convs)
+                @pl.when(g1 < total)
+                def _():
+                    wdma(0, 0).start()
+
+            yb = y.astype(weights.dtype)
+            acc = None
+            for qi, q in enumerate(qs):
+                contrib = jax.lax.dot_general(
+                    yb[q - qmin : q - qmin + e_out],
+                    ws[ci % 2, qi * c : (qi + 1) * c],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = contrib if acc is None else acc + contrib
+            acc = acc + b_ref[ci][None, :]
+            return mask_seq(acc, origin - qmin), origin - qmin
+
+        out = None
+        ci = 0
+        for j in range(n_res):
+            h = x_t
+            o_h = 0
+            for _ in range(len(res_dsizes[j])):
+                xt, o = conv(_leaky(h), ci, o_h)
+                ci += 1
+                xt, o = conv(_leaky(xt), ci, o)
+                ci += 1
+                shift = o - o_h
+                h = xt + h[shift : shift + xt.shape[0]]
+                o_h = o
+            lo = halo - o_h
+            hc = h[lo : lo + rows]
+            out = hc if out is None else out + hc
+        out_ref[0] = out * (1.0 / n_res)
+
+    total_taps = sum(len(qs) for qs in convs)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nblk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (n_convs, c), lambda bi, n: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows, c), lambda bi, n: (bi, n, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, ext, c), jnp.float32),
+            pltpu.VMEM((2, wmax, c), weights.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * s * c * c * total_taps,
+            # activations once each way + the tap stacks re-streamed per block
+            bytes_accessed=4 * b * s * c * 2
+            + weights.dtype.itemsize * total_taps * c * c * total,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xpad, weights, biases)[:, :s]
+
+
 def resblock_group_packed(
     xp: jnp.ndarray,
     weights: jnp.ndarray,

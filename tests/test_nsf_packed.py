@@ -44,6 +44,7 @@ def _gens(**kw):
         dict(upsample_initial_channel=256),
     ],
 )
+@pytest.mark.slow
 def test_packed_generator_matches_linen(arch):
     t_mel = 16
     gen_lin, gen_pk = _gens(**arch)
@@ -120,6 +121,7 @@ def test_flat_har_source_noise_stats():
     assert abs(got_std - expect_std) / expect_std < 0.15, (got_std, expect_std)
 
 
+@pytest.mark.slow
 def test_prepared_runner_matches_linen():
     """PackedGeneratorRunner (prepared params as jit args) == linen."""
     from prodiff_tpu.models.nsf_hifigan import PackedGeneratorRunner
@@ -145,6 +147,7 @@ def test_prepared_runner_matches_linen():
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_prepared_runner_bf16_close():
     """bf16-baked prepared trunk stays within bf16 tolerance of f32 linen."""
     from prodiff_tpu.models.nsf_hifigan import PackedGeneratorRunner
@@ -165,6 +168,7 @@ def test_prepared_runner_bf16_close():
     assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.999
 
 
+@pytest.mark.slow
 def test_fused_resblock_kernel_matches_linen():
     """Fused Pallas resblock group (interpret, f32 taps) == linen resblocks."""
     from prodiff_tpu.models.nsf_hifigan import PackedGeneratorRunner
@@ -182,6 +186,7 @@ def test_fused_resblock_kernel_matches_linen():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)
 
 
+@pytest.mark.slow
 def test_fused_resblock_kernel_bf16_close():
     from prodiff_tpu.models.nsf_hifigan import PackedGeneratorRunner
 
@@ -377,6 +382,61 @@ def test_fused_resblock_kernel_odd_s():
             pk.pack(x, p), w, b, ksizes, dsizes, p,
             rows_per_block=16, interpret=True)
         assert got.shape == (2, s, p * c)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_streamed_resblock_kernel_direct():
+    """Weight-streamed full-lane resblock kernel (NSF s0-style C=256) ==
+    lax reference, across blocks/batches (slot parity + halo + odd S)."""
+    from prodiff_tpu.ops.pallas.resblock import (
+        prepare_resblock_stage,
+        resblock_group_streamed,
+    )
+
+    c = 256
+    ksizes = [3, 5]
+    dsizes = [[1, 3], [1, 2]]
+    stage_params = []
+    for k, ds in zip(ksizes, dsizes):
+        rb = {}
+        for li in range(len(ds)):
+            for grp in ("convs1", "convs2"):
+                rb[f"{grp}_{li}"] = {"conv": {
+                    "kernel": jnp.asarray(
+                        RNG.normal(size=(k, c, c)).astype(np.float32) * 0.05),
+                    "bias": jnp.asarray(
+                        RNG.normal(size=(c,)).astype(np.float32) * 0.1),
+                }}
+        stage_params.append(rb)
+
+    def ref(x):
+        outs = []
+        for rb, (k, ds) in zip(stage_params, zip(ksizes, dsizes)):
+            h = x
+            for li, d in enumerate(ds):
+                c1 = rb[f"convs1_{li}"]["conv"]
+                c2 = rb[f"convs2_{li}"]["conv"]
+                xt = jax.nn.leaky_relu(h, 0.1)
+                xt = jax.lax.conv_general_dilated(
+                    xt, c1["kernel"], (1,), "SAME", rhs_dilation=(d,),
+                    dimension_numbers=("NWC", "WIO", "NWC")) + c1["bias"]
+                xt = jax.nn.leaky_relu(xt, 0.1)
+                xt = jax.lax.conv_general_dilated(
+                    xt, c2["kernel"], (1,), "SAME",
+                    dimension_numbers=("NWC", "WIO", "NWC")) + c2["bias"]
+                h = xt + h
+            outs.append(h)
+        return sum(outs) / len(outs)
+
+    w, b = prepare_resblock_stage(
+        stage_params, ksizes, dsizes, 1, dtype=jnp.float32)
+    for s in (37, 48):  # odd (pad tail) and rows-multiple
+        x = jnp.asarray(RNG.normal(size=(2, s, c)).astype(np.float32))
+        want = ref(x)
+        got = resblock_group_streamed(
+            x, w, b, ksizes, dsizes, rows_per_block=16, interpret=True)
+        assert got.shape == (2, s, c)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=2e-4)
 
