@@ -54,6 +54,7 @@ def ublock_layer_packed(
     dilation: int,
     hop: int,
     wpb: int | None = None,
+    merged_lvc: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One fused UBlock layer.
@@ -91,10 +92,16 @@ def ublock_layer_packed(
     mq, qs = conv3_mixing_matrices(conv_kernel, dilation, p)
     nq = len(qs)
     # halo: conv reaches max|q| rows; the LVC taps need 1 more time step which
-    # the conv output's own 1-row halo covers. Rounded up to the 8-sublane
+    # the conv output's own pad_y-row halo covers. Rounded up to the 8-sublane
     # tile so the HBM->VMEM row DMAs stay aligned (non-multiple-of-8 copies
     # faulted the TPU worker).
-    halo = max(max(abs(q) for q in qs) + 1, 1)
+    # pad_y: extra conv-output rows per side. The merged-LVC path needs the
+    # CENTER tap slice of y2 to sit at sublane offset 0 (Mosaic's
+    # tpu.concatenate rejects operands at mismatched sublane phases, and
+    # where()-normalisation only fixes the rolled side taps), so the center
+    # slice origin must be a multiple of 8.
+    pad_y = 8 if merged_lvc else 1
+    halo = max(max(abs(q) for q in qs) + pad_y, 1)
     halo = (halo + 7) // 8 * 8
     # zero-pad HALO rows at both ends (packed density — cheap); block n then
     # reads padded rows [n*rows, n*rows + rows + 2*halo)
@@ -148,29 +155,40 @@ def ublock_layer_packed(
 
         xa = xs[slot] + ads[slot]
         ya = _leaky(xa)
-        # conv over [rows + 2] rows (1 extra row each side for the LVC taps):
-        # output row r (relative, r in [-1, rows+1)) reads ya[halo + r + q]
+        # conv over [rows + 2*pad_y] rows (pad_y extra rows each side; the LVC
+        # taps use 1 of them): output row r (relative, r in
+        # [-pad_y, rows+pad_y)) reads ya[halo + r + q]
         y2 = None
         for qi, q in enumerate(qs):
             contrib = jnp.dot(
-                ya[halo - 1 + q : halo - 1 + q + rows + 2],
+                ya[halo - pad_y + q : halo - pad_y + q + rows + 2 * pad_y],
                 mq_ref[qi],
                 preferred_element_type=jnp.float32,
             )
             y2 = contrib if y2 is None else y2 + contrib
         y2 = _leaky(y2 + cb_ref[0][None, :])
-        # y2: [rows+2, P*C] packed conv output covering relative rows
-        # [-1, rows+1). Build the three PACKED time-shifted operands via lane
-        # roll + group select (Mosaic cannot reshape [S, 128] -> [S*P, C] nor
-        # concat lane-slices with mismatched offsets, so the LVC runs in
-        # packed layout against block-diagonal kernels):
+        # y2: [rows+2*pad_y, P*C] packed conv output covering relative rows
+        # [-pad_y, rows+pad_y). Build the three PACKED time-shifted operands
+        # via lane roll + group select (Mosaic cannot reshape
+        # [S, 128] -> [S*P, C] nor concat lane-slices with mismatched offsets,
+        # so the LVC runs in packed layout against block-diagonal kernels).
+        # The where() operand ORDER matters for the merged path: Mosaic gives
+        # the select the layout of its first vector operand, so the
+        # offset-0-aligned slice (origin pad_y, a sublane multiple when
+        # merged) comes first to keep minus/base/plus concat-compatible.
         gidx = jax.lax.broadcasted_iota(jnp.int32, (rows, pc), 1) // cin
-        base = y2[1 : 1 + rows]
+        base = y2[pad_y : pad_y + rows]
         rolled_r = pltpu.roll(y2, cin, 1)  # row r: [g_{P-1}(r), g_0(r)..]
-        minus = jnp.where(gidx == 0, rolled_r[0:rows], rolled_r[1 : 1 + rows])
+        minus = jnp.where(
+            gidx != 0,
+            rolled_r[pad_y : pad_y + rows],
+            rolled_r[pad_y - 1 : pad_y - 1 + rows],
+        )
         rolled_l = pltpu.roll(y2, pc - cin, 1)  # row r: [g_1(r).., g_0(r)]
         plus = jnp.where(
-            gidx == p - 1, rolled_l[2 : 2 + rows], rolled_l[1 : 1 + rows]
+            gidx != p - 1,
+            rolled_l[pad_y : pad_y + rows],
+            rolled_l[pad_y + 1 : pad_y + 1 + rows],
         )
         # the LVC zero-pads at the SEQUENCE ends (reference unfold semantics):
         # time -1 / time T taps are zero, not the conv-of-padding (whose bias
@@ -201,6 +219,16 @@ def ublock_layer_packed(
             == jax.lax.broadcasted_iota(jnp.int32, (pc, pc), 1) // cin
         ).astype(jnp.float32)
         xa_int = xa[halo : halo + rows]
+        # ``merged_lvc``: lane-stack the three taps once per block and merge
+        # the six per-window [M, PC] @ [PC, PC] dots into ONE
+        # [M, 3PC] @ [3PC, 2PC] GEMM (gate and filter side by side) — the
+        # per-window M (= hop/P) is small, so amortising the dot setup over
+        # K=3PC, N=2PC is the lever the per-tap loop leaves on the table.
+        # All concats here are tile-aligned (full [*, PC] values / PC lane
+        # offsets), unlike the resblock fat-dot's sublane-phase-mismatched
+        # row slices that Mosaic rejects.
+        if merged_lvc:
+            stacked = jnp.concatenate(taps, axis=1)  # [rows, 3*PC]
         for w in range(wpb):
             km = km_ref[0, w].astype(jnp.float32)  # [3C, 2C] = [gate | filt]
             km_g = km[:, :cin]
@@ -212,17 +240,32 @@ def ublock_layer_packed(
                 )  # [PC, PC]
 
             sl = slice(w * rows_per_window, (w + 1) * rows_per_window)
-            g = None
-            f = None
-            for d in range(3):
-                xw = taps[d][sl]
-                gd = jnp.dot(xw, bd_of(km_g, d), preferred_element_type=jnp.float32)
-                fd = jnp.dot(xw, bd_of(km_f, d), preferred_element_type=jnp.float32)
-                g = gd if g is None else g + gd
-                f = fd if f is None else f + fd
             lb = lb_ref[0, w][None, :]  # [1, 2C]
             lbg = pltpu.repeat(lb[:, :cin], p, 1)
             lbf = pltpu.repeat(pltpu.roll(lb, cin, 1)[:, :cin], p, 1)
+            if merged_lvc:
+                bd = jnp.concatenate(
+                    [
+                        jnp.concatenate(
+                            [bd_of(km_g, d), bd_of(km_f, d)], axis=1
+                        )
+                        for d in range(3)
+                    ],
+                    axis=0,
+                )  # [3PC, 2PC]
+                y = jnp.dot(
+                    stacked[sl], bd, preferred_element_type=jnp.float32
+                )  # [rows_pw, 2PC]
+                g, f = y[:, :pc], y[:, pc:]
+            else:
+                g = None
+                f = None
+                for d in range(3):
+                    xw = taps[d][sl]
+                    gd = jnp.dot(xw, bd_of(km_g, d), preferred_element_type=jnp.float32)
+                    fd = jnp.dot(xw, bd_of(km_f, d), preferred_element_type=jnp.float32)
+                    g = gd if g is None else g + gd
+                    f = fd if f is None else f + fd
             z = jax.nn.sigmoid(g + lbg) * jnp.tanh(f + lbf)  # [rows_pw, P*C]
             out_ref[0, sl] = xa_int[sl] + z
 

@@ -28,6 +28,7 @@ def ref_layer(x, ad, conv_kernel, conv_bias, kmat, lvc_bias, dilation, hop):
     return xa + jax.nn.sigmoid(gate) * jnp.tanh(filt)
 
 
+@pytest.mark.parametrize("merged_lvc", [True, False])
 @pytest.mark.parametrize(
     "hop,dilation,L,wpb",
     [
@@ -37,7 +38,7 @@ def ref_layer(x, ad, conv_kernel, conv_bias, kmat, lvc_bias, dilation, hop):
         (8, 9, 32, 16),    # first block (tiny windows)
     ],
 )
-def test_fused_layer_matches_xla(hop, dilation, L, wpb):
+def test_fused_layer_matches_xla(hop, dilation, L, wpb, merged_lvc):
     cin, b = 32, 2
     t = L * hop
     x = jnp.asarray(RNG.normal(size=(b, t, cin)).astype(np.float32))
@@ -51,7 +52,7 @@ def test_fused_layer_matches_xla(hop, dilation, L, wpb):
     got = unpack(
         ublock_layer_packed(
             pack(x, 4), pack(ad, 4), ck, cb, kmat, lb, dilation, hop,
-            wpb=wpb, interpret=True,
+            wpb=wpb, merged_lvc=merged_lvc, interpret=True,
         ),
         cin,
     )

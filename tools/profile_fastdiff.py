@@ -179,7 +179,7 @@ def lvc_op_only(B, dtype):
     return chain(compute)
 
 
-def fused_layers_only(B, dtype, wpb=None):
+def fused_layers_only(B, dtype, wpb=None, merged_lvc=True):
     """4 chained fused UBlock layers at final-block scale (the pallas path)."""
     from prodiff_tpu.ops.packed import pack
     from prodiff_tpu.ops.pallas.ublock import ublock_layer_packed
@@ -196,7 +196,8 @@ def fused_layers_only(B, dtype, wpb=None):
         cur = x + eps
         for i in range(4):
             cur = ublock_layer_packed(
-                cur, ad, cks[i], cb, kmat, lb, dilation=3 ** i, hop=HOP, wpb=wpb
+                cur, ad, cks[i], cb, kmat, lb, dilation=3 ** i, hop=HOP,
+                wpb=wpb, merged_lvc=merged_lvc,
             )
         return cur
 
@@ -407,6 +408,7 @@ PARTS = {
     "lvc_op_x4": lvc_op_only,
     "dblocks": dblocks,
     "fused_layers": fused_layers_only,
+    "fused_layers_pertap": lambda B, d: fused_layers_only(B, d, merged_lvc=False),
     "fused_layers_sliced": fused_layers_sliced,
     "fused_layers_w32": lambda B, d: fused_layers_only(B, d, wpb=32),
     "packed_full_nokp": lambda B, d: full_net(B, d, packed=True, skip_kp=True),
