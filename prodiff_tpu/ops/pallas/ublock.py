@@ -39,6 +39,11 @@ from prodiff_tpu.ops.packed import conv3_mixing_matrices
 
 LRELU_SLOPE = 0.2
 
+# DIAGNOSTIC ONLY (tools/profile_fastdiff.py): reuse window 0's block-diagonal
+# kernel for every window — wrong numerics, isolates the per-window BD
+# construction cost from the per-window GEMMs.
+_DIAG_STATIC_BD = False
+
 
 def _leaky(x):
     return jnp.where(x >= 0, x, LRELU_SLOPE * x)
@@ -229,8 +234,47 @@ def ublock_layer_packed(
         # row slices that Mosaic rejects.
         if merged_lvc:
             stacked = jnp.concatenate(taps, axis=1)  # [rows, 3*PC]
+            # Loop-invariant INTERLEAVED BD mask. The merged BD lives in the
+            # layout the lane-repeat of km produces for free: row
+            # d*PC + g*C+ci, col q*2C + j (per-group gate|filt pairs, NOT
+            # gate-half/filt-half) — so each window's BD costs 3 row-repeats
+            # + 1 lane-repeat + 1 mask multiply instead of 6 slice/repeat/
+            # repeat/mask chains (the static-BD diagnostic put ~44% of the
+            # kernel in that construction). The outputs are de-interleaved
+            # ONCE per block after the window loop.
+            r_g = (
+                jax.lax.broadcasted_iota(jnp.int32, (3 * pc, 2 * pc), 0)
+                % pc
+                // cin
+            )
+            c_q = jax.lax.broadcasted_iota(
+                jnp.int32, (3 * pc, 2 * pc), 1
+            ) // (2 * cin)
+            mask3 = (r_g == c_q).astype(jnp.float32)
+        static_bd = [None]
+        ys = []
         for w in range(wpb):
-            km = km_ref[0, w].astype(jnp.float32)  # [3C, 2C] = [gate | filt]
+            wk = 0 if _DIAG_STATIC_BD else w  # diag: window 0's kernel always
+            km = km_ref[0, wk].astype(jnp.float32)  # [3C, 2C] = [gate | filt]
+            sl = slice(w * rows_per_window, (w + 1) * rows_per_window)
+            if merged_lvc:
+                if _DIAG_STATIC_BD and static_bd[0] is not None:
+                    bd = static_bd[0]
+                else:
+                    rowrep = jnp.concatenate(
+                        [
+                            pltpu.repeat(km[d * cin : (d + 1) * cin], p, 0)
+                            for d in range(3)
+                        ],
+                        axis=0,
+                    )  # [3PC, 2C]
+                    bd = mask3 * pltpu.repeat(rowrep, p, 1)  # [3PC, 2PC]
+                    static_bd[0] = bd
+                y = jnp.dot(
+                    stacked[sl], bd, preferred_element_type=jnp.float32
+                )  # [rows_pw, 2PC] interleaved
+                ys.append(y + pltpu.repeat(lb_ref[0, wk][None, :], p, 1))
+                continue
             km_g = km[:, :cin]
             km_f = pltpu.roll(km, cin, 1)[:, :cin]  # filt half to offset 0
 
@@ -239,35 +283,42 @@ def ublock_layer_packed(
                     pltpu.repeat(kpart[d * cin : (d + 1) * cin], p, 0), p, 1
                 )  # [PC, PC]
 
-            sl = slice(w * rows_per_window, (w + 1) * rows_per_window)
-            lb = lb_ref[0, w][None, :]  # [1, 2C]
+            lb = lb_ref[0, wk][None, :]  # [1, 2C]
             lbg = pltpu.repeat(lb[:, :cin], p, 1)
             lbf = pltpu.repeat(pltpu.roll(lb, cin, 1)[:, :cin], p, 1)
-            if merged_lvc:
-                bd = jnp.concatenate(
-                    [
-                        jnp.concatenate(
-                            [bd_of(km_g, d), bd_of(km_f, d)], axis=1
-                        )
-                        for d in range(3)
-                    ],
-                    axis=0,
-                )  # [3PC, 2PC]
-                y = jnp.dot(
-                    stacked[sl], bd, preferred_element_type=jnp.float32
-                )  # [rows_pw, 2PC]
-                g, f = y[:, :pc], y[:, pc:]
-            else:
-                g = None
-                f = None
-                for d in range(3):
-                    xw = taps[d][sl]
-                    gd = jnp.dot(xw, bd_of(km_g, d), preferred_element_type=jnp.float32)
-                    fd = jnp.dot(xw, bd_of(km_f, d), preferred_element_type=jnp.float32)
-                    g = gd if g is None else g + gd
-                    f = fd if f is None else f + fd
+            g = None
+            f = None
+            for d in range(3):
+                xw = taps[d][sl]
+                gd = jnp.dot(xw, bd_of(km_g, d), preferred_element_type=jnp.float32)
+                fd = jnp.dot(xw, bd_of(km_f, d), preferred_element_type=jnp.float32)
+                g = gd if g is None else g + gd
+                f = fd if f is None else f + fd
             z = jax.nn.sigmoid(g + lbg) * jnp.tanh(f + lbf)  # [rows_pw, P*C]
             out_ref[0, sl] = xa_int[sl] + z
+        if merged_lvc:
+            # de-interleave gate/filt once per block: gate[r, g*C+ci] =
+            # ybuf[r, g*2C+ci], filt[r, g*C+ci] = ybuf[r, g*2C+C+ci] — built
+            # from left-rolled copies selected per lane group.
+            ybuf = ys[0] if len(ys) == 1 else jnp.concatenate(ys, axis=0)
+            grp = jax.lax.broadcasted_iota(jnp.int32, (rows, pc), 1) // cin
+
+            def deinterleave(off):
+                out = None
+                for q in range(p):
+                    shift = q * cin + off
+                    src = (
+                        ybuf if shift == 0
+                        else pltpu.roll(ybuf, 2 * pc - shift, 1)
+                    )
+                    v = src[:, :pc]
+                    out = v if out is None else jnp.where(grp == q, v, out)
+                return out
+
+            gate = deinterleave(0)
+            filt = deinterleave(cin)
+            z = jax.nn.sigmoid(gate) * jnp.tanh(filt)  # [rows, P*C]
+            out_ref[0] = xa_int + z
 
     grid = (b, nblk)
     return pl.pallas_call(

@@ -179,6 +179,18 @@ def lvc_op_only(B, dtype):
     return chain(compute)
 
 
+def fused_layers_staticbd(B, dtype):
+    """DIAGNOSTIC (wrong numerics): one BD matrix reused for every window —
+    isolates the per-window block-diagonal weight-construction cost from the
+    per-window dots. If this is much faster than fused_layers, the VPU
+    repeat/mask construction (not the GEMMs) is the kernel's bottleneck.
+    Leaves the flag set for the rest of the process (diag runs only)."""
+    import prodiff_tpu.ops.pallas.ublock as ub
+
+    ub._DIAG_STATIC_BD = True
+    return fused_layers_only(B, dtype)
+
+
 def fused_layers_only(B, dtype, wpb=None, merged_lvc=True):
     """4 chained fused UBlock layers at final-block scale (the pallas path)."""
     from prodiff_tpu.ops.packed import pack
@@ -408,6 +420,7 @@ PARTS = {
     "lvc_op_x4": lvc_op_only,
     "dblocks": dblocks,
     "fused_layers": fused_layers_only,
+    "fused_layers_staticbd": fused_layers_staticbd,
     "fused_layers_pertap": lambda B, d: fused_layers_only(B, d, merged_lvc=False),
     "fused_layers_sliced": fused_layers_sliced,
     "fused_layers_w32": lambda B, d: fused_layers_only(B, d, wpb=32),
