@@ -349,8 +349,12 @@ class FastDiff(nn.Module):
 
 
 # LVC blocks with cond_hop >= this run as fused Pallas layers; smaller hops
-# (too-small per-window GEMMs) take the XLA einsum path at low audio rates
-_FUSED_MIN_HOP = 128
+# (too-small per-window GEMMs) take the XLA einsum path at low audio rates.
+# Was 128 while the per-window BD construction dominated the kernel; with the
+# interleaved-layout construction, hop=64 measured 2.635/8.265 ms B=1/B=4
+# full-net vs 2.719/8.882 for the XLA block1 path (v5e). hop=8 (block0,
+# M=2-row window dots) measured worse still — see CLAUDE.md round 4.
+_FUSED_MIN_HOP = 64
 # diagnostic knobs (tools/profile_fastdiff.py): run only the first N LVC
 # blocks' layer loops (upsamples still run so shapes stay correct); skip
 # dblock convs / upsample convTs (identity-ish substitutions)
