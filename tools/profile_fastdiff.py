@@ -191,14 +191,18 @@ def fused_layers_staticbd(B, dtype):
     return fused_layers_only(B, dtype)
 
 
-def fused_layers_only(B, dtype, wpb=None, merged_lvc=True):
-    """4 chained fused UBlock layers at final-block scale (the pallas path)."""
+def fused_layers_only(B, dtype, wpb=None, merged_lvc=True, hop=None):
+    """4 chained fused UBlock layers at final-block scale (the pallas path).
+    ``hop`` overrides the block rate (e.g. 64 = block1 scale: the trunk then
+    runs at T_AUDIO/16 rows)."""
     from prodiff_tpu.ops.packed import pack
     from prodiff_tpu.ops.pallas.ublock import ublock_layer_packed
 
+    hop = HOP if hop is None else hop
+    rows_total = T_MEL * hop // 4  # S: L*hop samples packed P=4
     rng0 = np.random.default_rng(4)
-    x = jnp.asarray(rng0.normal(size=(B, T_AUDIO // 4, 128)), jnp.float32)
-    ad = jnp.asarray(rng0.normal(size=(B, T_AUDIO // 4, 128)), jnp.float32)
+    x = jnp.asarray(rng0.normal(size=(B, rows_total, 128)), jnp.float32)
+    ad = jnp.asarray(rng0.normal(size=(B, rows_total, 128)), jnp.float32)
     cks = [jnp.asarray(rng0.normal(size=(3, 32, 32)) * 0.1, jnp.float32) for _ in range(4)]
     cb = jnp.zeros((32,), jnp.float32)
     kmat = jnp.asarray(rng0.normal(size=(B, T_MEL, 96, 64)) * 0.1, jnp.float32)
@@ -208,8 +212,39 @@ def fused_layers_only(B, dtype, wpb=None, merged_lvc=True):
         cur = x + eps
         for i in range(4):
             cur = ublock_layer_packed(
-                cur, ad, cks[i], cb, kmat, lb, dilation=3 ** i, hop=HOP,
+                cur, ad, cks[i], cb, kmat, lb, dilation=3 ** i, hop=hop,
                 wpb=wpb, merged_lvc=merged_lvc,
+            )
+        return cur
+
+    return chain(compute)
+
+
+def fused_layers_flatkp(B, dtype):
+    """Like fused_layers, but kmat comes from the FLAT bf16 KernelPredictor
+    layout exactly as _packed_forward consumes it (lane slice + reshape to
+    [B, L, 96, 64]) — isolates the kflat slice/reshape/relayout + half-lane
+    kmat DMA cost around the pallas calls."""
+    from prodiff_tpu.ops.pallas.ublock import ublock_layer_packed
+
+    rng0 = np.random.default_rng(4)
+    x = jnp.asarray(rng0.normal(size=(B, T_AUDIO // 4, 128)), jnp.float32)
+    ad = jnp.asarray(rng0.normal(size=(B, T_AUDIO // 4, 128)), jnp.float32)
+    cks = [jnp.asarray(rng0.normal(size=(3, 32, 32)) * 0.1, jnp.float32) for _ in range(4)]
+    cb = jnp.zeros((32,), jnp.float32)
+    kwc = 3 * 32 * 64
+    kflat = jnp.asarray(
+        rng0.normal(size=(B, T_MEL, 4 * kwc)) * 0.1, jnp.bfloat16)
+    lstack = jnp.zeros((B, T_MEL, 4 * 64), jnp.float32)
+
+    def compute(rng, eps):
+        cur = x + eps
+        for i in range(4):
+            km = jax.lax.slice_in_dim(kflat, i * kwc, (i + 1) * kwc, axis=2)
+            km = km.reshape(B, T_MEL, 96, 64)
+            lb = jax.lax.slice_in_dim(lstack, i * 64, (i + 1) * 64, axis=2)
+            cur = ublock_layer_packed(
+                cur, ad, cks[i], cb, km, lb, dilation=3 ** i, hop=HOP,
             )
         return cur
 
@@ -423,7 +458,11 @@ PARTS = {
     "fused_layers_staticbd": fused_layers_staticbd,
     "fused_layers_pertap": lambda B, d: fused_layers_only(B, d, merged_lvc=False),
     "fused_layers_sliced": fused_layers_sliced,
+    "fused_layers_flatkp": fused_layers_flatkp,
     "fused_layers_w32": lambda B, d: fused_layers_only(B, d, wpb=32),
+    "fused_h64": lambda B, d: fused_layers_only(B, d, hop=64),
+    "fused_h64_w32": lambda B, d: fused_layers_only(B, d, hop=64, wpb=32),
+    "fused_h64_w8": lambda B, d: fused_layers_only(B, d, hop=64, wpb=8),
     "packed_full_nokp": lambda B, d: full_net(B, d, packed=True, skip_kp=True),
     "packed_fmh64": lambda B, d: full_net(B, d, packed=True, fused_min_hop=64),
     "packed_full_noup": lambda B, d: full_net(B, d, packed=True, skip_upsample=True),
