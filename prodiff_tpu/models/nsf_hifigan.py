@@ -770,7 +770,8 @@ def prepare_packed_trunk_params(
                 dtype=fused_res_dtype,
             )
             out[f"resfused_{i}"] = {"w": w, "b": bs}
-        elif not stream:
+        elif not stream:  # plain XLA stage (streamed stages already emitted
+            # resstream_{i} above and must not also get per-resblock params)
             for j, rds in enumerate(res_dsizes):
                 rb = params[f"resblocks_{i * num_kernels + j}"]
                 ob = {}

@@ -42,10 +42,12 @@ def enable_persistent_cache(path: str | None = None) -> str:
     features (+prefer-no-scatter) that the loader rejects on this host, so
     CPU lookups always miss — loudly and slowly. Platform is decided from
     config/env only; this function must never initialise a jax backend
-    (callers run it at import time, before platform switches)."""
+    (callers run it at import time, before platform switches). An UNSET
+    platform enables the cache: hosts that rely on autodetection (plain TPU
+    VMs) must not silently lose it — only an explicit 'cpu' opts out."""
     import jax
 
-    if _intended_platform() in ("", "cpu"):
+    if _intended_platform() == "cpu":
         return ""
     if path is None:
         # same default dir as bench.py so programs are shared across entries

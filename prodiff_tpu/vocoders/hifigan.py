@@ -99,28 +99,30 @@ class HifiGAN(BaseVocoder):
     @property
     def _packed_runner(self):
         """Prepared-params serving path: kernels packed once at load, the
-        prepared tree passed as a jit argument (see NsfHifiGAN). Cached keyed
-        on the params object identity so a checkpoint reload replacing
-        ``self.params`` rebuilds the prepared tree instead of serving stale
-        weights."""
+        prepared tree passed as a jit argument (see NsfHifiGAN). The prepared
+        tree is keyed on the params object identity so a checkpoint reload
+        replacing ``self.params`` rebuilds it instead of serving stale
+        weights; the jitted fns depend only on the model config and are built
+        once per instance (a params swap must not recompile the program)."""
+        fns = getattr(self, "_packed_fns", None)
+        if fns is None:
+            from prodiff_tpu.models.hifigan import PackedHifiGanRunner
+
+            runner = PackedHifiGanRunner(self.model)
+
+            @jax.jit
+            def run(prepared, mel, f0, rng):
+                return runner(prepared, mel, f0, rng)
+
+            @jax.jit
+            def run_nof0(prepared, mel):
+                return runner(prepared, mel)
+
+            fns = self._packed_fns = (jax.jit(runner.prepare), run, run_nof0)
         cache = getattr(self, "_packed_cache", None)
-        if cache is not None and cache[0] is self.params:
-            return cache[1], cache[2], cache[3]
-        from prodiff_tpu.models.hifigan import PackedHifiGanRunner
-
-        runner = PackedHifiGanRunner(self.model)
-        prepared = jax.jit(runner.prepare)(self.params)
-
-        @jax.jit
-        def run(prepared, mel, f0, rng):
-            return runner(prepared, mel, f0, rng)
-
-        @jax.jit
-        def run_nof0(prepared, mel):
-            return runner(prepared, mel)
-
-        self._packed_cache = (self.params, run, run_nof0, prepared)
-        return run, run_nof0, prepared
+        if cache is None or cache[0] is not self.params:
+            cache = self._packed_cache = (self.params, fns[0](self.params))
+        return fns[1], fns[2], cache[1]
 
     def _packed_active(self, t_mel: int) -> bool:
         up = self.model.use_packed

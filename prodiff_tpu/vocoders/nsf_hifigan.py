@@ -85,24 +85,29 @@ class NsfHifiGAN(BaseVocoder):
         prepared tree rides as a jit argument so the forward executable
         stays small (see models/nsf_hifigan.py:prepare_packed_trunk_params).
 
-        Cached keyed on the params object identity (not cached_property):
-        a checkpoint reload that replaces ``self.params`` must invalidate
-        the prepared tree instead of silently serving stale weights.
+        The prepared tree is cached keyed on the params object identity (not
+        cached_property): a checkpoint reload that replaces ``self.params``
+        must invalidate it instead of silently serving stale weights. The
+        jitted fns depend only on the model config, so they are built ONCE
+        per instance — a params swap costs one re-prepare, not a recompile
+        of the generator program (~minutes through the axon relay).
         """
+        fns = getattr(self, "_packed_fns", None)
+        if fns is None:
+            from prodiff_tpu.models.nsf_hifigan import PackedGeneratorRunner
+
+            runner = PackedGeneratorRunner(self.model)
+
+            @functools.partial(jax.jit, static_argnames=("deterministic",))
+            def run(prepared, mel_ln, f0, rng, deterministic=False):
+                return runner(prepared, mel_ln, f0,
+                              None if deterministic else rng)
+
+            fns = self._packed_fns = (jax.jit(runner.prepare), run)
         cache = getattr(self, "_packed_cache", None)
-        if cache is not None and cache[0] is self.params:
-            return cache[1], cache[2]
-        from prodiff_tpu.models.nsf_hifigan import PackedGeneratorRunner
-
-        runner = PackedGeneratorRunner(self.model)
-        prepared = jax.jit(runner.prepare)(self.params)
-
-        @functools.partial(jax.jit, static_argnames=("deterministic",))
-        def run(prepared, mel_ln, f0, rng, deterministic=False):
-            return runner(prepared, mel_ln, f0, None if deterministic else rng)
-
-        self._packed_cache = (self.params, run, prepared)
-        return run, prepared
+        if cache is None or cache[0] is not self.params:
+            cache = self._packed_cache = (self.params, fns[0](self.params))
+        return fns[1], cache[1]
 
     def _packed_active(self, t_mel: int) -> bool:
         up = self.model.use_packed

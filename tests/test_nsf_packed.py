@@ -465,10 +465,14 @@ def test_packed_runner_invalidated_on_params_swap():
     assert voc._packed_active(t_mel)
     w1 = np.asarray(voc.spec2wav_batch(np.asarray(mel), np.asarray(f0),
                                        deterministic=True))
+    fns_before = voc._packed_fns
     voc.params = p2  # checkpoint reload
     w2 = np.asarray(voc.spec2wav_batch(np.asarray(mel), np.asarray(f0),
                                        deterministic=True))
     assert np.abs(w1 - w2).max() > 1e-4, "stale prepared weights served"
+    # the jitted fns depend only on the config: a params swap must re-prepare
+    # WITHOUT rebuilding them (a fresh fn object would force a recompile)
+    assert voc._packed_fns is fns_before
     fresh = NsfHifiGAN({"nsf_packed": True}, params=p2, config=h)
     w3 = np.asarray(fresh.spec2wav_batch(np.asarray(mel), np.asarray(f0),
                                          deterministic=True))

@@ -184,7 +184,7 @@ def fused_layers_staticbd(B, dtype):
     isolates the per-window block-diagonal weight-construction cost from the
     per-window dots. If this is much faster than fused_layers, the VPU
     repeat/mask construction (not the GEMMs) is the kernel's bottleneck.
-    Leaves the flag set for the rest of the process (diag runs only)."""
+    main() restores the flag after the part is measured."""
     import prodiff_tpu.ops.pallas.ublock as ub
 
     ub._DIAG_STATIC_BD = True
@@ -483,14 +483,38 @@ def main():
     ap.add_argument("--dtypes", nargs="+", default=["f32"])
     ap.add_argument("--parts", nargs="+", default=list(PARTS))
     args = ap.parse_args()
+    # several parts mutate module globals to select variants (full_net's
+    # _FUSED_MIN_HOP / _SKIP_*, fused_layers_staticbd's _DIAG_STATIC_BD);
+    # tracing happens inside measure(), so snapshot/restore around each part
+    # keeps one part's knobs from silently poisoning every later part in the
+    # default all-parts sweep.
+    import prodiff_tpu.models.fastdiff as fd_mod
+    import prodiff_tpu.ops.pallas.ublock as ub_mod
+
+    import re
+
+    knob = re.compile(r"^_[A-Z][A-Z0-9_]*$")  # _FUSED_MIN_HOP, _SKIP_*, ...
+
+    def _globals_snapshot():
+        return [
+            (m, k, getattr(m, k))
+            for m in (fd_mod, ub_mod)
+            for k in list(vars(m))
+            if knob.match(k)
+        ]
+
     for part in args.parts:
         for b in args.b:
             for dt in args.dtypes:
                 dtype = {"f32": None, "bf16": jnp.bfloat16}[dt]
+                snap = _globals_snapshot()
                 try:
                     measure(PARTS[part](b, dtype), f"{part} B={b} {dt}")
                 except Exception as e:
                     print(f"{part} B={b} {dt}: FAILED {type(e).__name__}: {e}")
+                finally:
+                    for m, k, v in snap:
+                        setattr(m, k, v)
 
 
 if __name__ == "__main__":
