@@ -85,3 +85,33 @@ def test_dryrun_from_preinitialised_backend():
     r = _run(_PREINIT_SCRIPT, strip=("XLA_FLAGS", "_PRODIFF_DRYRUN_REEXEC"))
     assert r.returncode == 0, r.stderr[-4000:]
     assert "dryrun_multichip OK on 8 devices" in r.stdout, r.stdout
+
+
+def test_persistent_cache_gate_is_side_effect_free():
+    """enable_persistent_cache() decides platform from config/env only:
+    axon -> enabled, explicit cpu -> no-op, UNSET -> enabled (autodetect
+    hosts must not silently lose the cache) — and never initialises a
+    backend (the round-3 regression vector)."""
+    code = textwrap.dedent(
+        """
+        import jax
+        from prodiff_tpu.utils.jax_cache import enable_persistent_cache
+        import jax._src.xla_bridge as xb
+
+        assert enable_persistent_cache() == "/tmp/_cache_gate_test"  # axon
+        jax.config.update("jax_platforms", "cpu")
+        assert enable_persistent_cache() == ""                       # cpu
+        jax.config.update("jax_platforms", None)
+        assert enable_persistent_cache() == "/tmp/_cache_gate_test"  # unset
+        assert not xb._backends, dict(xb._backends)
+        print("GATE_OK")
+        """
+    )
+    r = _run(
+        code,
+        env_extra={"JAX_CACHE_DIR": "/tmp/_cache_gate_test"},
+        strip=("JAX_PLATFORMS", "XLA_FLAGS"),
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "GATE_OK" in r.stdout
