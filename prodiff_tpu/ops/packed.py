@@ -14,6 +14,16 @@ row-major-compatible views of the same logical tensor.
 
 Reference semantics: ``modules/FastDiff/module/modules.py`` (LVC blocks,
 DBlocks), ``FastDiff_model.py`` (pyramid wiring).
+
+Output-dtype contract (deliberate, per call site): trunk-interior ops
+(``packed_convk_prepared``, ``packed_conv_transpose_packed_in_prepared``)
+return ``xp.dtype`` — the trunk's precision is the caller's choice and
+prepared weights may be bf16 without downcasting the activations. EDGE ops
+that inject/emit flat signals (``packed_conv_from_flat``,
+``packed_strided_conv_from_flat_prepared``, ``packed_conv_to_flat_prepared``)
+return ``kernel.dtype`` — the flat-KP/bf16-edge design emits directly in the
+prepared precision (see models/fastdiff.py flat=True notes). Mixing the two
+families means checking dtypes at the seam.
 """
 
 from __future__ import annotations
@@ -345,6 +355,14 @@ def prepare_strided_conv_from_flat(
     """Row-conv kernel [nd, stride*P, P*Cout] for the prepared apply."""
     k, one, cout = kernel.shape
     assert one == 1
+    # the prepared apply emits T/stride outputs; torch Conv1d emits
+    # floor((T + 2*padding - k)/stride) + 1 — equal for all T % stride == 0
+    # exactly when k == 2*padding + stride (the NSF noise-conv family).
+    # Reject other geometries instead of fabricating zero-extended tails.
+    assert k == 2 * padding + stride, (
+        f"strided-flat conv geometry: need k == 2*padding + stride "
+        f"(got k={k}, padding={padding}, stride={stride})"
+    )
     sel, dmin, dmax = _strided_flat_selector(k, stride, padding, p)
     return jnp.einsum(
         "dqgu,uic->dqgc", jnp.asarray(sel, kernel.dtype), kernel
@@ -456,7 +474,16 @@ def packed_conv_transpose(
     assert k == 2 * stride, "FastDiff upsamples use kernel_size == 2*stride"
     b, s, _ = x.shape
     pad = k - 1 - padding
-    t_out = s * stride  # (S-1)*r - 2*padding + k + output_padding == S*r here
+    t_out = s * stride
+    # this op emits exactly S*stride samples; torch emits
+    # (S-1)*stride - 2*padding + k + output_padding — reject geometries where
+    # they differ instead of silently truncating/extending the tail
+    assert (s - 1) * stride - 2 * padding + k + output_padding == t_out, (
+        f"conv-transpose geometry emits "
+        f"{(s - 1) * stride - 2 * padding + k + output_padding} samples, "
+        f"packed op emits {t_out} (stride={stride}, k={k}, padding={padding},"
+        f" output_padding={output_padding})"
+    )
     # Identity (the lhs-dilated lax formulation in ConvTranspose1dTorch):
     #   y[t] = sum_u xd[t + u - pad] kernel[u],  xd[stride*j] = x[j]
     # so x[j] contributes x[j] @ kernel[u] at t = stride*j + pad - u — i.e. in
@@ -507,6 +534,13 @@ def packed_conv_transpose_packed_in(
     j = (J+delta)*P + p_in; so u = stride*P*delta + stride*p_in - phi*P
     - p_out + pad, independent of J -> a [n_delta, P*Cin, stride*P*Cout]
     row-conv kernel."""
+    # emits exactly S*stride samples == torch's (S-1)*stride - 2*padding + k
+    # + output_padding only under this identity; reject silent tail mismatch
+    assert output_padding == stride + 2 * padding - kernel.shape[0], (
+        f"conv-transpose geometry mismatch: need output_padding == stride + "
+        f"2*padding - k (got stride={stride}, padding={padding}, "
+        f"k={kernel.shape[0]}, output_padding={output_padding})"
+    )
     p = xp.shape[-1] // cin
     kern = prepare_conv_transpose_packed_in(kernel, stride, padding, p)
     return packed_conv_transpose_packed_in_prepared(

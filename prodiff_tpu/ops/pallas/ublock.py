@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -91,6 +90,28 @@ def ublock_layer_packed(
         wpb = max(1, min(L, 512 // max(1, rows_per_window), 16))
     while L % wpb:
         wpb -= 1
+    # the per-block row DMA must stay 8-sublane aligned (same hard
+    # requirement the halo rounding documents below: misaligned row copies
+    # faulted the TPU worker). wpb must divide L AND keep rows a multiple
+    # of 8; grow it first (fewer, fatter blocks), then shrink.
+    def _rows_ok(w):
+        return (w * rows_per_window) % 8 == 0
+
+    if not _rows_ok(wpb):
+        cand = next(
+            (w for w in range(wpb + 1, L + 1) if L % w == 0 and _rows_ok(w)),
+            None,
+        ) or next(
+            (w for w in range(wpb - 1, 0, -1) if L % w == 0 and _rows_ok(w)),
+            None,
+        )
+        if cand is None:
+            raise ValueError(
+                f"ublock_layer_packed: no windows-per-block divides L={L} "
+                f"with an 8-row-aligned block (rows_per_window="
+                f"{rows_per_window}); use the XLA LVC path for this shape"
+            )
+        wpb = cand
     rows = wpb * rows_per_window
     nblk = L // wpb
 

@@ -58,3 +58,43 @@ def test_fused_layer_matches_xla(hop, dilation, L, wpb, merged_lvc):
     )
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_rows_realigned_to_sublanes():
+    """hop=8 (rows_per_window=2) with L=12: auto-wpb would pick 12 ->
+    rows=24, not 8-aligned — the kernel's HBM row DMAs require multiples of
+    8 rows (misaligned copies faulted the TPU worker). The picker must
+    realign (here to wpb=4, rows=8) and keep numerics identical."""
+    cin, b, hop, L, dilation = 32, 1, 8, 12, 3
+    t = L * hop
+    x = jnp.asarray(RNG.normal(size=(b, t, cin)).astype(np.float32))
+    ad = jnp.asarray(RNG.normal(size=(b, t, cin)).astype(np.float32))
+    ck = jnp.asarray(RNG.normal(size=(3, cin, cin)).astype(np.float32)) * 0.2
+    cb = jnp.asarray(RNG.normal(size=(cin,)).astype(np.float32)) * 0.1
+    kmat = jnp.asarray(
+        RNG.normal(size=(b, L, 3 * cin, 2 * cin)).astype(np.float32)) * 0.1
+    lb = jnp.asarray(RNG.normal(size=(b, L, 2 * cin)).astype(np.float32)) * 0.1
+
+    want = ref_layer(x, ad, ck, cb, kmat, lb, dilation, hop)
+    got = unpack(
+        ublock_layer_packed(
+            pack(x, 4), pack(ad, 4), ck, cb, kmat, lb, dilation, hop,
+            interpret=True,
+        ),
+        cin,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_unalignable_shape_raises():
+    """L with no divisor giving 8-aligned blocks must raise (clear error
+    instead of a TPU worker fault), telling the caller to use the XLA path."""
+    cin, b, hop, L = 32, 1, 8, 6
+    t = L * hop
+    x = pack(jnp.zeros((b, t, cin), jnp.float32), 4)
+    ck = jnp.zeros((3, cin, cin), jnp.float32)
+    cb = jnp.zeros((cin,), jnp.float32)
+    kmat = jnp.zeros((b, L, 3 * cin, 2 * cin), jnp.float32)
+    lb = jnp.zeros((b, L, 2 * cin), jnp.float32)
+    with pytest.raises(ValueError, match="8-row-aligned"):
+        ublock_layer_packed(x, x, ck, cb, kmat, lb, 1, hop, interpret=True)
