@@ -355,6 +355,11 @@ class FastDiff(nn.Module):
 # full-net vs 2.719/8.882 for the XLA block1 path (v5e). hop=8 (block0,
 # M=2-row window dots) measured worse still — see CLAUDE.md round 4.
 _FUSED_MIN_HOP = 64
+# Chain the fused layers through halo-padded in/out (one pad per block
+# instead of one full-tensor jnp.pad copy per layer; the kernel emits
+# zeroed halos). Interpret-parity-identical to the plain mode; default OFF
+# until measured on a real chip (the TPU relay was down when built).
+_PADDED_CHAIN = False
 # diagnostic knobs (tools/profile_fastdiff.py): run only the first N LVC
 # blocks' layer loops (upsamples still run so shapes stay correct); skip
 # dblock convs / upsample convTs (identity-ish substitutions)
@@ -378,7 +383,7 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps, kp_out=None):
     skipped entirely (they are the only consumers of diffusion_steps).
     """
     from prodiff_tpu.ops import packed as pk
-    from prodiff_tpu.ops.pallas.ublock import ublock_layer_packed
+    from prodiff_tpu.ops.pallas.ublock import layer_halo, ublock_layer_packed
 
     params = net.variables["params"]
     cin = net.inner_channels
@@ -497,15 +502,33 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps, kp_out=None):
         if n >= _MAX_LVC_BLOCKS:
             continue
         if cond_hop >= _FUSED_MIN_HOP:
-            # audio-rate block: fused Pallas layers on the packed trunk
-            for i in range(net.lvc_layers_each_block):
+            # audio-rate block: fused Pallas layers on the packed trunk.
+            # _PADDED_CHAIN: pad x/audio_down ONCE per block and chain the
+            # layers through halo-padded in/out (zeroed halos emitted by the
+            # kernel) — each plain-mode layer's jnp.pad is a full-tensor HBM
+            # copy on a traffic-bound kernel (~2 extra tensor copies/layer).
+            n_lay = net.lvc_layers_each_block
+            if _PADDED_CHAIN:
+                ioh = max(layer_halo(3 ** i, p) for i in range(n_lay))
+                xp = jnp.pad(xp, [(0, 0), (ioh, ioh), (0, 0)])
+                adp_l = jnp.pad(adp, [(0, 0), (ioh, ioh), (0, 0)])
+            for i in range(n_lay):
                 km_i, lb_i = layer_kernels(i)
-                xp = ublock_layer_packed(
-                    xp, adp,
-                    bp[f"convs_{i}"]["kernel"], bp[f"convs_{i}"]["bias"],
-                    km_i, lb_i,
-                    dilation=3 ** i, hop=cond_hop, interpret=interpret,
-                )
+                if _PADDED_CHAIN:
+                    xp = ublock_layer_packed(
+                        xp, adp_l,
+                        bp[f"convs_{i}"]["kernel"], bp[f"convs_{i}"]["bias"],
+                        km_i, lb_i,
+                        dilation=3 ** i, hop=cond_hop, interpret=interpret,
+                        in_halo=ioh, out_halo=ioh if i < n_lay - 1 else 0,
+                    )
+                else:
+                    xp = ublock_layer_packed(
+                        xp, adp,
+                        bp[f"convs_{i}"]["kernel"], bp[f"convs_{i}"]["bias"],
+                        km_i, lb_i,
+                        dilation=3 ** i, hop=cond_hop, interpret=interpret,
+                    )
         else:
             # low-rate blocks (hop < 128): per-window GEMMs are too small for
             # the fused kernel; the XLA einsum path at 1/32..1/4 audio rate

@@ -48,6 +48,16 @@ def _leaky(x):
     return jnp.where(x >= 0, x, LRELU_SLOPE * x)
 
 
+def layer_halo(dilation: int, p: int, merged_lvc: bool = True) -> int:
+    """Upper bound on the halo rows ublock_layer_packed needs for this
+    (dilation, p, merged) — callers chaining layers with padded I/O size
+    their shared pad as max(layer_halo(...)) over the chain. The kernel
+    asserts its exact halo never exceeds this bound."""
+    pad_y = 8 if merged_lvc else 1
+    qmax = -(-dilation // p)  # ceil(d/p): max row reach of the k=3 conv taps
+    return (max(qmax + pad_y, 1) + 7) // 8 * 8
+
+
 def ublock_layer_packed(
     xp: jnp.ndarray,
     adp: jnp.ndarray,
@@ -60,6 +70,8 @@ def ublock_layer_packed(
     wpb: int | None = None,
     merged_lvc: bool = True,
     interpret: bool = False,
+    in_halo: int = 0,
+    out_halo: int = 0,
 ) -> jnp.ndarray:
     """One fused UBlock layer.
 
@@ -71,10 +83,23 @@ def ublock_layer_packed(
       dilation: conv dilation (3^i).
       hop: LVC window length in samples (multiple of P).
       wpb: windows per grid block (auto if None).
+      in_halo / out_halo: padded-chain I/O. ``in_halo > 0`` means xp/adp are
+        ALREADY zero-padded with that many rows each side ([B, S+2*in_halo,
+        P*C]) — the kernel skips its own jnp.pad (a full-tensor HBM copy per
+        layer on a traffic-bound kernel). ``out_halo > 0`` emits the output
+        in the same padded form with the halo rows zeroed, ready to feed the
+        next layer's ``in_halo``. Both must be multiples of 8 and >=
+        :func:`layer_halo` of this layer. S above is always the LOGICAL
+        (unpadded) length.
 
-    Returns [B, S, P*C]: the next layer's x.
+    Returns [B, S, P*C] (or [B, S + 2*out_halo, P*C] when out_halo > 0):
+    the next layer's x.
     """
     b, s, pc = xp.shape
+    if in_halo:
+        assert in_halo % 8 == 0, in_halo
+        s -= 2 * in_halo
+        assert adp.shape[1] == s + 2 * in_halo, (adp.shape, s, in_halo)
     _, L, kc, c2 = kmat.shape
     cin = kc // 3
     p = pc // cin
@@ -129,22 +154,33 @@ def ublock_layer_packed(
     pad_y = 8 if merged_lvc else 1
     halo = max(max(abs(q) for q in qs) + pad_y, 1)
     halo = (halo + 7) // 8 * 8
-    # zero-pad HALO rows at both ends (packed density — cheap); block n then
-    # reads padded rows [n*rows, n*rows + rows + 2*halo)
-    xpad = jnp.pad(xp, [(0, 0), (halo, halo), (0, 0)])
-    adpad = jnp.pad(adp, [(0, 0), (halo, halo), (0, 0)])
+    assert halo <= layer_halo(dilation, p, merged_lvc)
+    if in_halo:
+        # caller already zero-padded (padded-chain mode); DMA offsets below
+        # shift by (in_halo - halo) to land on this layer's halo window
+        assert in_halo >= halo, (in_halo, halo)
+        xpad, adpad = xp, adp
+        in_off = in_halo - halo
+    else:
+        # zero-pad HALO rows at both ends (packed density — cheap); block n
+        # then reads padded rows [n*rows, n*rows + rows + 2*halo)
+        xpad = jnp.pad(xp, [(0, 0), (halo, halo), (0, 0)])
+        adpad = jnp.pad(adp, [(0, 0), (halo, halo), (0, 0)])
+        in_off = 0
+    if out_halo:
+        assert out_halo % 8 == 0, out_halo
 
     cb_row = jnp.tile(conv_bias, p)[None, :]  # [1, P*C]
 
     nblk_total = nblk
 
     def kernel(x_hbm, ad_hbm, mq_ref, cb_ref, km_ref, lb_ref, out_ref,
-               xs, ads, sem):
+               xs, ads, sem, *extra):
         bi = pl.program_id(0)
         n = pl.program_id(1)
 
         def dma_pair(slot, blk, bb):
-            r0 = blk * rows  # start row in the PADDED array
+            r0 = blk * rows + in_off  # start row in the PADDED array
             return (
                 pltpu.make_async_copy(
                     x_hbm.at[bb, pl.ds(r0, rows + 2 * halo)], xs.at[slot],
@@ -178,6 +214,31 @@ def ublock_layer_packed(
         slot = g % 2
         for cp in dma_pair(slot, n, bi):
             cp.wait()
+
+        if out_halo:
+            # manual (double-buffered) output DMA into the halo-padded out:
+            # compute writes outs[g%2], the copy started at step g-2 must
+            # have drained before that slot is overwritten
+            outs, zs, semo, semz = extra
+            oslot = g % 2
+
+            def out_copy(cslot, blk, bb):
+                return pltpu.make_async_copy(
+                    outs.at[cslot],
+                    out_ref.at[bb, pl.ds(out_halo + blk * rows, rows)],
+                    semo.at[cslot],
+                )
+
+            @pl.when(g >= 2)
+            def _():
+                g2 = g - 2
+                out_copy(oslot, g2 % nblk_total, g2 // nblk_total).wait()
+
+        def store(vals, sl=slice(None)):
+            if out_halo:
+                outs[oslot, sl] = vals
+            else:
+                out_ref[0, sl] = vals
 
         xa = xs[slot] + ads[slot]
         ya = _leaky(xa)
@@ -307,16 +368,16 @@ def ublock_layer_packed(
             lb = lb_ref[0, wk][None, :]  # [1, 2C]
             lbg = pltpu.repeat(lb[:, :cin], p, 1)
             lbf = pltpu.repeat(pltpu.roll(lb, cin, 1)[:, :cin], p, 1)
-            g = None
-            f = None
+            acc_g = None
+            acc_f = None
             for d in range(3):
                 xw = taps[d][sl]
                 gd = jnp.dot(xw, bd_of(km_g, d), preferred_element_type=jnp.float32)
                 fd = jnp.dot(xw, bd_of(km_f, d), preferred_element_type=jnp.float32)
-                g = gd if g is None else g + gd
-                f = fd if f is None else f + fd
-            z = jax.nn.sigmoid(g + lbg) * jnp.tanh(f + lbf)  # [rows_pw, P*C]
-            out_ref[0, sl] = xa_int[sl] + z
+                acc_g = gd if acc_g is None else acc_g + gd
+                acc_f = fd if acc_f is None else acc_f + fd
+            zw = jax.nn.sigmoid(acc_g + lbg) * jnp.tanh(acc_f + lbf)  # [rows_pw, P*C]
+            store(xa_int[sl] + zw, sl)
         if merged_lvc:
             # de-interleave gate/filt once per block: gate[r, g*C+ci] =
             # ybuf[r, g*2C+ci], filt[r, g*C+ci] = ybuf[r, g*2C+C+ci] — built
@@ -339,7 +400,44 @@ def ublock_layer_packed(
             gate = deinterleave(0)
             filt = deinterleave(cin)
             z = jax.nn.sigmoid(gate) * jnp.tanh(filt)  # [rows, P*C]
-            out_ref[0] = xa_int + z
+            store(xa_int + z)
+
+        if out_halo:
+            out_copy(oslot, n, bi).start()
+            G = b * nblk_total
+
+            # zero the padded halos once per batch row (tiny copies, waited
+            # inline; the slot buffer edges are never read so only the out
+            # array's halo rows need it)
+            @pl.when(n == 0)
+            def _():
+                zs[...] = jnp.zeros_like(zs)
+                cz = pltpu.make_async_copy(
+                    zs, out_ref.at[bi, pl.ds(0, out_halo)], semz
+                )
+                cz.start()
+                cz.wait()
+
+            @pl.when(n == nblk_total - 1)
+            def _():
+                zs[...] = jnp.zeros_like(zs)
+                cz = pltpu.make_async_copy(
+                    zs, out_ref.at[bi, pl.ds(out_halo + s, out_halo)], semz
+                )
+                cz.start()
+                cz.wait()
+
+            # drain the outstanding output copies at the very last step
+            @pl.when(g == G - 1)
+            def _():
+                out_copy(oslot, n, bi).wait()
+
+            if G >= 2:
+
+                @pl.when(g == G - 1)
+                def _():
+                    gp = g - 1
+                    out_copy(gp % 2, gp % nblk_total, gp // nblk_total).wait()
 
     grid = (b, nblk)
     return pl.pallas_call(
@@ -360,14 +458,28 @@ def ublock_layer_packed(
             pl.BlockSpec((1, wpb, c2), lambda bi, n: (bi, n, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, rows, pc), lambda bi, n: (bi, n, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, s, pc), jnp.float32),
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY)
+            if out_halo
+            else pl.BlockSpec((1, rows, pc), lambda bi, n: (bi, n, 0),
+                              memory_space=pltpu.VMEM)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, s + 2 * out_halo, pc), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, rows + 2 * halo, pc), jnp.float32),
             pltpu.VMEM((2, rows + 2 * halo, pc), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        ]
+        + (
+            [
+                pltpu.VMEM((2, rows, pc), jnp.float32),
+                pltpu.VMEM((out_halo, pc), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
+            ]
+            if out_halo
+            else []
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * s * pc * nq * pc + 2 * b * L * hop * kc * c2,
             bytes_accessed=4 * b * (3 * s * pc + L * kc * c2),

@@ -118,3 +118,26 @@ def test_packed_auto_falls_back_on_unsupported_shape():
     params = net.init(jax.random.PRNGKey(0), audio, cond, steps)
     out = net.apply(params, audio, cond, steps)
     assert out.shape == (1, 512, 1)
+
+
+def test_padded_chain_forward_matches(monkeypatch):
+    """_PADDED_CHAIN (one pad per block, halo-padded layer chaining) must be
+    numerically identical to the per-layer-pad packed forward AND to linen."""
+    import prodiff_tpu.models.fastdiff as fd_mod
+
+    b, L, hop = 2, 8, 256
+    t = L * hop
+    net = FastDiff(cond_channels=16, use_packed=False)
+    net_packed = FastDiff(cond_channels=16, use_packed=True)
+    audio = jnp.asarray(RNG.normal(size=(b, t, 1)).astype(np.float32))
+    cond = jnp.asarray(RNG.normal(size=(b, L, 16)).astype(np.float32))
+    steps = jnp.full((b, 1), 2.5, jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), audio, cond, steps)
+    want_linen = net.apply(params, audio, cond, steps)
+    plain = net_packed.apply(params, audio, cond, steps)
+    monkeypatch.setattr(fd_mod, "_PADDED_CHAIN", True)
+    chained = net_packed.apply(params, audio, cond, steps)
+    np.testing.assert_allclose(np.asarray(chained), np.asarray(plain),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(chained), np.asarray(want_linen),
+                               atol=5e-5)

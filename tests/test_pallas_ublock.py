@@ -98,3 +98,48 @@ def test_unalignable_shape_raises():
     lb = jnp.zeros((b, L, 2 * cin), jnp.float32)
     with pytest.raises(ValueError, match="8-row-aligned"):
         ublock_layer_packed(x, x, ck, cb, kmat, lb, 1, hop, interpret=True)
+
+
+def test_padded_chain_matches_plain():
+    """in_halo/out_halo chained layers (one pad per block, kernel-emitted
+    zeroed halos) must match the plain per-layer-pad mode exactly, and the
+    intermediate padded outputs must carry ZERO halos (the next layer's
+    correctness depends on it — interpret mode may mask garbage as zeros,
+    so assert it explicitly)."""
+    from prodiff_tpu.ops.pallas.ublock import layer_halo
+
+    cin, b, hop, L = 32, 2, 64, 8
+    t = L * hop
+    x = jnp.asarray(RNG.normal(size=(b, t, cin)).astype(np.float32))
+    ad = jnp.asarray(RNG.normal(size=(b, t, cin)).astype(np.float32))
+    cks = [jnp.asarray(RNG.normal(size=(3, cin, cin)).astype(np.float32)) * 0.2
+           for _ in range(4)]
+    cb = jnp.asarray(RNG.normal(size=(cin,)).astype(np.float32)) * 0.1
+    kms = [jnp.asarray(
+        RNG.normal(size=(b, L, 3 * cin, 2 * cin)).astype(np.float32)) * 0.1
+        for _ in range(4)]
+    lbs = [jnp.asarray(
+        RNG.normal(size=(b, L, 2 * cin)).astype(np.float32)) * 0.1
+        for _ in range(4)]
+    xp, adp = pack(x, 4), pack(ad, 4)
+
+    want = xp
+    for i in range(4):
+        want = ublock_layer_packed(
+            want, adp, cks[i], cb, kms[i], lbs[i], 3 ** i, hop,
+            interpret=True)
+
+    ioh = max(layer_halo(3 ** i, 4) for i in range(4))
+    cur = jnp.pad(xp, [(0, 0), (ioh, ioh), (0, 0)])
+    adpp = jnp.pad(adp, [(0, 0), (ioh, ioh), (0, 0)])
+    for i in range(4):
+        out_h = ioh if i < 3 else 0
+        cur = ublock_layer_packed(
+            cur, adpp, cks[i], cb, kms[i], lbs[i], 3 ** i, hop,
+            interpret=True, in_halo=ioh, out_halo=out_h)
+        if out_h:
+            assert cur.shape[1] == xp.shape[1] + 2 * ioh
+            np.testing.assert_array_equal(np.asarray(cur[:, :ioh]), 0.0)
+            np.testing.assert_array_equal(np.asarray(cur[:, -ioh:]), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(cur), np.asarray(want), atol=1e-5)

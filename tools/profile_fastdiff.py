@@ -46,11 +46,14 @@ def chain(compute):
 
 def full_net(B, dtype, packed=False, fused_min_hop=None, max_blocks=None,
              skip_dconvs=False, skip_upsample=False, skip_kp=False,
-             skip_first=False, skip_final=False, skip_rdense=False):
+             skip_first=False, skip_final=False, skip_rdense=False,
+             padded_chain=None):
     from prodiff_tpu.models import fastdiff as fd_mod
 
     if fused_min_hop is not None:
         fd_mod._FUSED_MIN_HOP = fused_min_hop
+    if padded_chain is not None:
+        fd_mod._PADDED_CHAIN = padded_chain
     fd_mod._MAX_LVC_BLOCKS = 3 if max_blocks is None else max_blocks
     fd_mod._SKIP_DBLOCK_CONVS = skip_dconvs
     fd_mod._SKIP_UPSAMPLE = skip_upsample
@@ -465,6 +468,7 @@ PARTS = {
     "fused_h64_w8": lambda B, d: fused_layers_only(B, d, hop=64, wpb=8),
     "packed_full_nokp": lambda B, d: full_net(B, d, packed=True, skip_kp=True),
     "packed_fmh64": lambda B, d: full_net(B, d, packed=True, fused_min_hop=64),
+    "packed_chain": lambda B, d: full_net(B, d, packed=True, padded_chain=True),
     "packed_full_noup": lambda B, d: full_net(B, d, packed=True, skip_upsample=True),
     "xla_layers": xla_layers_only,
     "pk_first": lambda B, d: packed_edges(B, d, "first"),
