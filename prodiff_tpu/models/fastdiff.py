@@ -360,6 +360,13 @@ _FUSED_MIN_HOP = 64
 # zeroed halos). Interpret-parity-identical to the plain mode; default OFF
 # until measured on a real chip (the TPU relay was down when built).
 _PADDED_CHAIN = False
+# Run ALL layers of a fused block in ONE pallas_call (ops/pallas/ublock.py:
+# ublock_block_packed) — inter-layer activations stay in VMEM, recomputing a
+# shrinking halo margin per layer; ~4x less activation HBM traffic than the
+# per-layer kernels. Interpret-parity-identical; default OFF until measured
+# on a real chip (built while the TPU relay was down). Supersedes
+# _PADDED_CHAIN where supported.
+_MONO_BLOCK = False
 # diagnostic knobs (tools/profile_fastdiff.py): run only the first N LVC
 # blocks' layer loops (upsamples still run so shapes stay correct); skip
 # dblock convs / upsample convTs (identity-ish substitutions)
@@ -383,7 +390,12 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps, kp_out=None):
     skipped entirely (they are the only consumers of diffusion_steps).
     """
     from prodiff_tpu.ops import packed as pk
-    from prodiff_tpu.ops.pallas.ublock import layer_halo, ublock_layer_packed
+    from prodiff_tpu.ops.pallas.ublock import (
+        layer_halo,
+        mono_block_supported,
+        ublock_block_packed,
+        ublock_layer_packed,
+    )
 
     params = net.variables["params"]
     cin = net.inner_channels
@@ -508,6 +520,19 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps, kp_out=None):
             # kernel) — each plain-mode layer's jnp.pad is a full-tensor HBM
             # copy on a traffic-bound kernel (~2 extra tensor copies/layer).
             n_lay = net.lvc_layers_each_block
+            if _MONO_BLOCK and mono_block_supported(
+                L_mel, cond_hop, p, n_lay
+            ):
+                kls = [layer_kernels(i) for i in range(n_lay)]
+                xp = ublock_block_packed(
+                    xp, adp,
+                    [bp[f"convs_{i}"]["kernel"] for i in range(n_lay)],
+                    [bp[f"convs_{i}"]["bias"] for i in range(n_lay)],
+                    [k for k, _ in kls], [lb for _, lb in kls],
+                    [3 ** i for i in range(n_lay)], cond_hop,
+                    interpret=interpret,
+                )
+                continue
             if _PADDED_CHAIN:
                 ioh = max(layer_halo(3 ** i, p) for i in range(n_lay))
                 xp = jnp.pad(xp, [(0, 0), (ioh, ioh), (0, 0)])

@@ -48,6 +48,166 @@ def _leaky(x):
     return jnp.where(x >= 0, x, LRELU_SLOPE * x)
 
 
+def _fused_layer_compute(xa, E, out_len, mq_at, qs, cb_row, windows, gr0,
+                         s_rows, cin, p, pad_y, merged_lvc=True):
+    """One UBlock layer body on VMEM-resident values.
+
+    Shared by the per-layer kernel (``ublock_layer_packed``) and the
+    whole-block mono kernel (``ublock_block_packed``) so the conv/tap/BD/
+    de-interleave math exists once.
+
+    Args:
+      xa: [out_len + 2E, P*C] f32 — x + audio_down covering the out region
+        plus E margin rows each side (E a multiple of 8, >= max|q| + pad_y).
+      mq_at: qi -> [P*C, P*C] packed conv mixing matrix.
+      windows: ordered (km_f32 [3C, 2C], lb [2C], row_start, row_len) tuples
+        tiling [0, out_len); row_start multiples of 8 (Mosaic phases).
+      gr0: traced global packed-row index of out row 0 (sequence-end masks).
+      s_rows: static logical sequence length in packed rows.
+
+    Returns [out_len, P*C]: xa_interior + sigmoid(gate) * tanh(filt).
+    """
+    pc = xa.shape[-1]
+    ya = _leaky(xa)
+    # conv over [out_len + 2*pad_y] rows (pad_y extra rows each side; the LVC
+    # taps use 1 of them): output row r (relative, r in
+    # [-pad_y, out_len+pad_y)) reads ya[E + r + q]
+    y2 = None
+    for qi, q in enumerate(qs):
+        contrib = jnp.dot(
+            ya[E - pad_y + q : E - pad_y + q + out_len + 2 * pad_y],
+            mq_at(qi),
+            preferred_element_type=jnp.float32,
+        )
+        y2 = contrib if y2 is None else y2 + contrib
+    y2 = _leaky(y2 + cb_row)
+    # y2: [out_len+2*pad_y, P*C] packed conv output covering relative rows
+    # [-pad_y, out_len+pad_y). Build the three PACKED time-shifted operands
+    # via lane roll + group select (Mosaic cannot reshape
+    # [S, 128] -> [S*P, C] nor concat lane-slices with mismatched offsets,
+    # so the LVC runs in packed layout against block-diagonal kernels).
+    # The where() operand ORDER matters: Mosaic gives the select the layout
+    # of its first vector operand, so the offset-0-aligned slice (origin
+    # pad_y, a sublane multiple) comes first to keep minus/base/plus
+    # concat-compatible.
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (out_len, pc), 1) // cin
+    base = y2[pad_y : pad_y + out_len]
+    rolled_r = pltpu.roll(y2, cin, 1)  # row r: [g_{P-1}(r), g_0(r)..]
+    minus = jnp.where(
+        gidx != 0,
+        rolled_r[pad_y : pad_y + out_len],
+        rolled_r[pad_y - 1 : pad_y - 1 + out_len],
+    )
+    rolled_l = pltpu.roll(y2, pc - cin, 1)  # row r: [g_1(r).., g_0(r)]
+    plus = jnp.where(
+        gidx != p - 1,
+        rolled_l[pad_y : pad_y + out_len],
+        rolled_l[pad_y + 1 : pad_y + 1 + out_len],
+    )
+    # the LVC zero-pads at the SEQUENCE ends (reference unfold semantics):
+    # time -1 / time T taps are zero, not the conv-of-padding (whose bias
+    # makes it nonzero)
+    gr = gr0 + jax.lax.broadcasted_iota(jnp.int32, (out_len, pc), 0)
+    minus = jnp.where((gr == 0) & (gidx == 0), 0.0, minus)
+    plus = jnp.where(
+        (gr == s_rows - 1) & (gidx == p - 1), 0.0, plus
+    )
+    taps = (minus, base, plus)
+    if not merged_lvc:
+        # per-tap fallback (profiler A/B; merged is the production path):
+        # one [M, PC] @ [PC, PC] dot per (tap, gate|filt)
+        bd_mask = (
+            jax.lax.broadcasted_iota(jnp.int32, (pc, pc), 0) // cin
+            == jax.lax.broadcasted_iota(jnp.int32, (pc, pc), 1) // cin
+        ).astype(jnp.float32)
+        ys = []
+        for km, lb, r_start, r_len in windows:
+            km_g = km[:, :cin]
+            km_f = pltpu.roll(km, cin, 1)[:, :cin]  # filt half to offset 0
+
+            def bd_of(kpart, d):
+                return bd_mask * pltpu.repeat(
+                    pltpu.repeat(kpart[d * cin : (d + 1) * cin], p, 0), p, 1
+                )  # [PC, PC]
+
+            lb2 = lb[None, :]  # [1, 2C]
+            lbg = pltpu.repeat(lb2[:, :cin], p, 1)
+            lbf = pltpu.repeat(pltpu.roll(lb2, cin, 1)[:, :cin], p, 1)
+            acc_g = None
+            acc_f = None
+            for d in range(3):
+                xw = taps[d][r_start : r_start + r_len]
+                gd = jnp.dot(xw, bd_of(km_g, d),
+                             preferred_element_type=jnp.float32)
+                fd = jnp.dot(xw, bd_of(km_f, d),
+                             preferred_element_type=jnp.float32)
+                acc_g = gd if acc_g is None else acc_g + gd
+                acc_f = fd if acc_f is None else acc_f + fd
+            ys.append(jax.nn.sigmoid(acc_g + lbg) * jnp.tanh(acc_f + lbf))
+        z = ys[0] if len(ys) == 1 else jnp.concatenate(ys, axis=0)
+        return xa[E : E + out_len] + z
+    # lane-stack the three taps once and merge the six per-window
+    # [M, PC] @ [PC, PC] dots into ONE [M, 3PC] @ [3PC, 2PC] GEMM (gate and
+    # filter side by side) — the per-window M is small, so amortising the
+    # dot setup over K=3PC, N=2PC is the lever the per-tap loop leaves on
+    # the table. All concats here are tile-aligned (full [*, PC] values /
+    # PC lane offsets).
+    stacked = jnp.concatenate((minus, base, plus), axis=1)  # [out_len, 3*PC]
+    # Loop-invariant INTERLEAVED BD mask. The merged BD lives in the layout
+    # the lane-repeat of km produces for free: row d*PC + g*C+ci, col
+    # q*2C + j (per-group gate|filt pairs, NOT gate-half/filt-half) — so
+    # each window's BD costs 3 row-repeats + 1 lane-repeat + 1 mask multiply
+    # instead of 6 slice/repeat/repeat/mask chains (the static-BD diagnostic
+    # put ~44% of the kernel in that construction). The outputs are
+    # de-interleaved ONCE after the window loop.
+    r_g = (
+        jax.lax.broadcasted_iota(jnp.int32, (3 * pc, 2 * pc), 0) % pc // cin
+    )
+    c_q = jax.lax.broadcasted_iota(jnp.int32, (3 * pc, 2 * pc), 1) // (
+        2 * cin
+    )
+    mask3 = (r_g == c_q).astype(jnp.float32)
+    static_bd = [None]
+    ys = []
+    for km, lb, r_start, r_len in windows:
+        if _DIAG_STATIC_BD and static_bd[0] is not None:
+            bd = static_bd[0]
+        else:
+            rowrep = jnp.concatenate(
+                [
+                    pltpu.repeat(km[d * cin : (d + 1) * cin], p, 0)
+                    for d in range(3)
+                ],
+                axis=0,
+            )  # [3PC, 2C]
+            bd = mask3 * pltpu.repeat(rowrep, p, 1)  # [3PC, 2PC]
+            static_bd[0] = bd
+        y = jnp.dot(
+            stacked[r_start : r_start + r_len], bd,
+            preferred_element_type=jnp.float32,
+        )  # [r_len, 2PC] interleaved
+        ys.append(y + pltpu.repeat(lb[None, :], p, 1))
+    # de-interleave gate/filt once: gate[r, g*C+ci] = ybuf[r, g*2C+ci],
+    # filt[r, g*C+ci] = ybuf[r, g*2C+C+ci] — built from left-rolled copies
+    # selected per lane group.
+    ybuf = ys[0] if len(ys) == 1 else jnp.concatenate(ys, axis=0)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (out_len, pc), 1) // cin
+
+    def deinterleave(off):
+        out = None
+        for q in range(p):
+            shift = q * cin + off
+            src = ybuf if shift == 0 else pltpu.roll(ybuf, 2 * pc - shift, 1)
+            v = src[:, :pc]
+            out = v if out is None else jnp.where(grp == q, v, out)
+        return out
+
+    gate = deinterleave(0)
+    filt = deinterleave(cin)
+    z = jax.nn.sigmoid(gate) * jnp.tanh(filt)  # [out_len, P*C]
+    return xa[E : E + out_len] + z
+
+
 def layer_halo(dilation: int, p: int, merged_lvc: bool = True) -> int:
     """Upper bound on the halo rows ublock_layer_packed needs for this
     (dilation, p, merged) — callers chaining layers with padded I/O size
@@ -241,166 +401,22 @@ def ublock_layer_packed(
                 out_ref[0, sl] = vals
 
         xa = xs[slot] + ads[slot]
-        ya = _leaky(xa)
-        # conv over [rows + 2*pad_y] rows (pad_y extra rows each side; the LVC
-        # taps use 1 of them): output row r (relative, r in
-        # [-pad_y, rows+pad_y)) reads ya[halo + r + q]
-        y2 = None
-        for qi, q in enumerate(qs):
-            contrib = jnp.dot(
-                ya[halo - pad_y + q : halo - pad_y + q + rows + 2 * pad_y],
-                mq_ref[qi],
-                preferred_element_type=jnp.float32,
-            )
-            y2 = contrib if y2 is None else y2 + contrib
-        y2 = _leaky(y2 + cb_ref[0][None, :])
-        # y2: [rows+2*pad_y, P*C] packed conv output covering relative rows
-        # [-pad_y, rows+pad_y). Build the three PACKED time-shifted operands
-        # via lane roll + group select (Mosaic cannot reshape
-        # [S, 128] -> [S*P, C] nor concat lane-slices with mismatched offsets,
-        # so the LVC runs in packed layout against block-diagonal kernels).
-        # The where() operand ORDER matters for the merged path: Mosaic gives
-        # the select the layout of its first vector operand, so the
-        # offset-0-aligned slice (origin pad_y, a sublane multiple when
-        # merged) comes first to keep minus/base/plus concat-compatible.
-        gidx = jax.lax.broadcasted_iota(jnp.int32, (rows, pc), 1) // cin
-        base = y2[pad_y : pad_y + rows]
-        rolled_r = pltpu.roll(y2, cin, 1)  # row r: [g_{P-1}(r), g_0(r)..]
-        minus = jnp.where(
-            gidx != 0,
-            rolled_r[pad_y : pad_y + rows],
-            rolled_r[pad_y - 1 : pad_y - 1 + rows],
-        )
-        rolled_l = pltpu.roll(y2, pc - cin, 1)  # row r: [g_1(r).., g_0(r)]
-        plus = jnp.where(
-            gidx != p - 1,
-            rolled_l[pad_y : pad_y + rows],
-            rolled_l[pad_y + 1 : pad_y + 1 + rows],
-        )
-        # the LVC zero-pads at the SEQUENCE ends (reference unfold semantics):
-        # time -1 / time T taps are zero, not the conv-of-padding (whose bias
-        # makes it nonzero)
-        ridx = jax.lax.broadcasted_iota(jnp.int32, (rows, pc), 0)
-        minus = jnp.where(
-            (ridx == 0) & (gidx == 0) & (n == 0), 0.0, minus
-        )
-        plus = jnp.where(
-            (ridx == rows - 1) & (gidx == p - 1)
-            & (n == pl.num_programs(1) - 1),
-            0.0,
-            plus,
-        )
-        taps = (minus, base, plus)
-
-        # block-diagonal gate/filter kernels per tap: BD_d[g*C + ci, q*C + co]
-        # = km[d*C + ci, co] iff g == q — built per window by tiling km chunks
-        # and masking (pltpu.repeat = whole-tile semantics); one GEMM per
-        # (tap, gate|filt)
-        # kernels may arrive in bf16 (XLA computes the KernelPredictor convs
-        # in bf16 anyway, so a bf16 operand loses no precision while halving
-        # the host-side relayout + DMA traffic). Mosaic cannot roll non-32-bit
-        # vectors, so the window is converted back to f32 at the VMEM read —
-        # the savings are all upstream of the kernel.
-        bd_mask = (
-            jax.lax.broadcasted_iota(jnp.int32, (pc, pc), 0) // cin
-            == jax.lax.broadcasted_iota(jnp.int32, (pc, pc), 1) // cin
-        ).astype(jnp.float32)
-        xa_int = xa[halo : halo + rows]
-        # ``merged_lvc``: lane-stack the three taps once per block and merge
-        # the six per-window [M, PC] @ [PC, PC] dots into ONE
-        # [M, 3PC] @ [3PC, 2PC] GEMM (gate and filter side by side) — the
-        # per-window M (= hop/P) is small, so amortising the dot setup over
-        # K=3PC, N=2PC is the lever the per-tap loop leaves on the table.
-        # All concats here are tile-aligned (full [*, PC] values / PC lane
-        # offsets), unlike the resblock fat-dot's sublane-phase-mismatched
-        # row slices that Mosaic rejects.
-        if merged_lvc:
-            stacked = jnp.concatenate(taps, axis=1)  # [rows, 3*PC]
-            # Loop-invariant INTERLEAVED BD mask. The merged BD lives in the
-            # layout the lane-repeat of km produces for free: row
-            # d*PC + g*C+ci, col q*2C + j (per-group gate|filt pairs, NOT
-            # gate-half/filt-half) — so each window's BD costs 3 row-repeats
-            # + 1 lane-repeat + 1 mask multiply instead of 6 slice/repeat/
-            # repeat/mask chains (the static-BD diagnostic put ~44% of the
-            # kernel in that construction). The outputs are de-interleaved
-            # ONCE per block after the window loop.
-            r_g = (
-                jax.lax.broadcasted_iota(jnp.int32, (3 * pc, 2 * pc), 0)
-                % pc
-                // cin
-            )
-            c_q = jax.lax.broadcasted_iota(
-                jnp.int32, (3 * pc, 2 * pc), 1
-            ) // (2 * cin)
-            mask3 = (r_g == c_q).astype(jnp.float32)
-        static_bd = [None]
-        ys = []
+        windows = []
         for w in range(wpb):
             wk = 0 if _DIAG_STATIC_BD else w  # diag: window 0's kernel always
-            km = km_ref[0, wk].astype(jnp.float32)  # [3C, 2C] = [gate | filt]
-            sl = slice(w * rows_per_window, (w + 1) * rows_per_window)
-            if merged_lvc:
-                if _DIAG_STATIC_BD and static_bd[0] is not None:
-                    bd = static_bd[0]
-                else:
-                    rowrep = jnp.concatenate(
-                        [
-                            pltpu.repeat(km[d * cin : (d + 1) * cin], p, 0)
-                            for d in range(3)
-                        ],
-                        axis=0,
-                    )  # [3PC, 2C]
-                    bd = mask3 * pltpu.repeat(rowrep, p, 1)  # [3PC, 2PC]
-                    static_bd[0] = bd
-                y = jnp.dot(
-                    stacked[sl], bd, preferred_element_type=jnp.float32
-                )  # [rows_pw, 2PC] interleaved
-                ys.append(y + pltpu.repeat(lb_ref[0, wk][None, :], p, 1))
-                continue
-            km_g = km[:, :cin]
-            km_f = pltpu.roll(km, cin, 1)[:, :cin]  # filt half to offset 0
-
-            def bd_of(kpart, d):
-                return bd_mask * pltpu.repeat(
-                    pltpu.repeat(kpart[d * cin : (d + 1) * cin], p, 0), p, 1
-                )  # [PC, PC]
-
-            lb = lb_ref[0, wk][None, :]  # [1, 2C]
-            lbg = pltpu.repeat(lb[:, :cin], p, 1)
-            lbf = pltpu.repeat(pltpu.roll(lb, cin, 1)[:, :cin], p, 1)
-            acc_g = None
-            acc_f = None
-            for d in range(3):
-                xw = taps[d][sl]
-                gd = jnp.dot(xw, bd_of(km_g, d), preferred_element_type=jnp.float32)
-                fd = jnp.dot(xw, bd_of(km_f, d), preferred_element_type=jnp.float32)
-                acc_g = gd if acc_g is None else acc_g + gd
-                acc_f = fd if acc_f is None else acc_f + fd
-            zw = jax.nn.sigmoid(acc_g + lbg) * jnp.tanh(acc_f + lbf)  # [rows_pw, P*C]
-            store(xa_int[sl] + zw, sl)
-        if merged_lvc:
-            # de-interleave gate/filt once per block: gate[r, g*C+ci] =
-            # ybuf[r, g*2C+ci], filt[r, g*C+ci] = ybuf[r, g*2C+C+ci] — built
-            # from left-rolled copies selected per lane group.
-            ybuf = ys[0] if len(ys) == 1 else jnp.concatenate(ys, axis=0)
-            grp = jax.lax.broadcasted_iota(jnp.int32, (rows, pc), 1) // cin
-
-            def deinterleave(off):
-                out = None
-                for q in range(p):
-                    shift = q * cin + off
-                    src = (
-                        ybuf if shift == 0
-                        else pltpu.roll(ybuf, 2 * pc - shift, 1)
-                    )
-                    v = src[:, :pc]
-                    out = v if out is None else jnp.where(grp == q, v, out)
-                return out
-
-            gate = deinterleave(0)
-            filt = deinterleave(cin)
-            z = jax.nn.sigmoid(gate) * jnp.tanh(filt)  # [rows, P*C]
-            store(xa_int + z)
+            # kernels may arrive in bf16 (XLA computes the KernelPredictor
+            # convs in bf16 anyway, so a bf16 operand loses no precision
+            # while halving the host-side relayout + DMA traffic). Mosaic
+            # cannot roll non-32-bit vectors, so the window is converted
+            # back to f32 at the VMEM read — the savings are all upstream.
+            windows.append((
+                km_ref[0, wk].astype(jnp.float32), lb_ref[0, wk],
+                w * rows_per_window, rows_per_window,
+            ))
+        store(_fused_layer_compute(
+            xa, halo, rows, lambda qi: mq_ref[qi], qs, cb_ref[0][None, :],
+            windows, n * rows, s, cin, p, pad_y, merged_lvc=merged_lvc,
+        ))
 
         if out_halo:
             out_copy(oslot, n, bi).start()
@@ -487,3 +503,249 @@ def ublock_layer_packed(
         ),
         interpret=interpret,
     )(xpad, adpad, mq, cb_row, kmat, lvc_bias)
+
+
+def ublock_block_packed(
+    xp: jnp.ndarray,
+    adp: jnp.ndarray,
+    conv_kernels,
+    conv_biases,
+    kmats,
+    lvc_biases,
+    dilations,
+    hop: int,
+    wpb: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """ALL layers of one TimeAwareLVCBlock in a single pallas_call.
+
+    The per-layer kernel round-trips x (+ audio_down) through HBM between
+    layers — ~48 MB/layer of pure activation traffic at final-block scale on
+    a traffic-bound kernel. Here each grid block keeps x in VMEM across the
+    whole layer chain, recomputing a shrinking halo margin per layer
+    (resblock.py's halo-growth pattern) so inter-layer activations never
+    leave the chip: HBM traffic drops to x + audio_down in, kernels in
+    (+ ~(2*wm/wpb) window overlap), x out — once per BLOCK instead of once
+    per layer.
+
+    Margins: layer l consumes its input over the out region +- E_l rows,
+    E_l = align8(max|q_l| + pad_y); cumulative A_l = sum_{j>=l} E_j. The
+    block DMAs rows +- A_0 and each layer's valid window shrinks by E_l.
+    Out-of-sequence margin rows are re-zeroed after every layer (the pad
+    semantics the per-layer kernel gets from its host jnp.pad); LVC windows
+    overlapping the margins use their true per-window kernels, DMA'd with
+    wm = ceil(A_1 / rows_per_window) extra windows each side (clamped index
+    at sequence ends — those windows' rows are entirely outside [0, S) and
+    get masked).
+
+    Args:
+      xp, adp: [B, S, P*C] packed trunk + audio_down (UNPADDED).
+      conv_kernels / conv_biases / kmats / lvc_biases: per-layer lists
+        ([3,C,C], [C], [B,L,3C,2C], [B,L,2C]).
+      dilations: per-layer conv dilations.
+      hop: LVC window length in samples; hop/P must be a multiple of 8.
+
+    Returns [B, S, P*C].
+    """
+    n_lay = len(conv_kernels)
+    b, s, pc = xp.shape
+    _, L, kc, c2 = kmats[0].shape
+    cin = kc // 3
+    p = pc // cin
+    assert s * p == L * hop, (s, p, L, hop)
+    assert hop % p == 0, (hop, p)
+    rpw = hop // p
+    assert rpw % 8 == 0, (
+        f"ublock_block_packed needs hop/P % 8 == 0 (got {rpw}); "
+        "use per-layer kernels for smaller hops"
+    )
+    pad_y = 8
+
+    mqs, qss = [], []
+    for ck, d in zip(conv_kernels, dilations):
+        mq, qs = conv3_mixing_matrices(ck, d, p)
+        mqs.append(mq)
+        qss.append(qs)
+    # per-layer margins, accumulated back-to-front
+    E = [
+        (max(max(abs(q) for q in qs) + pad_y, 1) + 7) // 8 * 8 for qs in qss
+    ]
+    A = [0] * (n_lay + 1)
+    for l in range(n_lay - 1, -1, -1):
+        A[l] = A[l + 1] + E[l]
+    a0 = A[0]
+
+    wm = -(-A[1] // rpw) if n_lay > 1 else -(-A[0] // rpw)
+    if wpb is None:
+        # the km window buffer (wpb + 2*wm) must fit inside L
+        wpb = max(1, min(L - 2 * wm, 512 // max(1, rpw), 16))
+    while wpb > 1 and (L % wpb or (wpb * rpw) % 8):
+        wpb -= 1
+    assert wpb >= 1 and L % wpb == 0 and (wpb * rpw) % 8 == 0, (L, rpw, wpb)
+    rows = wpb * rpw
+    nblk = L // wpb
+    bufw = wpb + 2 * wm
+    assert L >= bufw, (
+        f"sequence too short for the mono block kernel ({L} mel windows < "
+        f"{bufw}); use per-layer kernels (mono_block_supported gates this)"
+    )
+
+    xpad = jnp.pad(xp, [(0, 0), (a0, a0), (0, 0)])
+    adpad = jnp.pad(adp, [(0, 0), (a0, a0), (0, 0)])
+    mq_all = jnp.concatenate(mqs, axis=0)  # [sum_nq, pc, pc]
+    mq_off = [0]
+    for mq in mqs:
+        mq_off.append(mq_off[-1] + mq.shape[0])
+    cb_rows = jnp.stack([jnp.tile(cb, p) for cb in conv_biases])  # [n_lay,pc]
+
+    ext = rows + 2 * a0
+
+    def kernel(x_hbm, ad_hbm, mq_ref, cb_ref, *rest):
+        km_hbm = rest[:n_lay]
+        lb_refs = rest[n_lay : 2 * n_lay]
+        out_ref = rest[2 * n_lay]
+        xs, ads, kms, asem, ksem = rest[2 * n_lay + 1 :]
+        bi = pl.program_id(0)
+        n = pl.program_id(1)
+        g = bi * nblk + n
+
+        def km_start(blk):
+            raw = blk * wpb - wm
+            return jnp.clip(raw, 0, L - bufw)
+
+        def dmas(slot, blk, bb):
+            r0 = blk * rows
+            cps = [
+                pltpu.make_async_copy(
+                    x_hbm.at[bb, pl.ds(r0, ext)], xs.at[slot],
+                    asem.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    ad_hbm.at[bb, pl.ds(r0, ext)], ads.at[slot],
+                    asem.at[slot, 1],
+                ),
+            ]
+            st = km_start(blk)
+            for l in range(n_lay):
+                cps.append(
+                    pltpu.make_async_copy(
+                        km_hbm[l].at[bb, pl.ds(st, bufw)],
+                        kms.at[slot, l],
+                        ksem.at[slot, l],
+                    )
+                )
+            return cps
+
+        @pl.when(g == 0)
+        def _():
+            for cp in dmas(0, 0, 0):
+                cp.start()
+
+        g1 = g + 1
+        total = b * nblk
+
+        @pl.when(g1 < total)
+        def _():
+            for cp in dmas(g1 % 2, g1 % nblk, g1 // nblk):
+                cp.start()
+
+        slot = g % 2
+        for cp in dmas(slot, n, bi):
+            cp.wait()
+
+        delta = n * wpb - wm - km_start(n)  # >0 only at sequence ends
+        cur = xs[slot]  # [ext, pc]; row r is global row n*rows - a0 + r
+        for l in range(n_lay):
+            a_in, a_out = A[l], A[l + 1]
+            out_len = rows + 2 * a_out
+            lo = a0 - a_in
+            # cur covers the out region +- a_in exactly (layer l-1 emitted
+            # rows + 2*A[l]); audio_down sliced to the same region
+            xa = cur + ads[slot][lo : lo + rows + 2 * a_in]
+            gr0 = n * rows - a_out
+
+            windows = []
+            k_lo = -(-a_out // rpw)
+            k_hi = -(-(rows + a_out) // rpw) - 1
+            for k in range(-k_lo, k_hi + 1):
+                r_start = max(k * rpw + a_out, 0)
+                r_end = min((k + 1) * rpw + a_out, out_len)
+                idx = jnp.clip(k + wm + delta, 0, bufw - 1)
+                km = kms[slot, l, idx].astype(jnp.float32)
+                lb = lb_refs[l][0, jnp.clip(n * wpb + k, 0, L - 1)]
+                windows.append((km, lb, r_start, r_end - r_start))
+
+            out = _fused_layer_compute(
+                xa, a_in - a_out, out_len,
+                lambda qi, _l=l: mq_ref[mq_off[_l] + qi],
+                qss[l], cb_ref[l][None, :], windows, gr0, s, cin, p, pad_y,
+            )
+            if l < n_lay - 1:
+                # re-zero out-of-sequence margin rows: the next layer's conv
+                # must see the pad semantics the per-layer kernel gets from
+                # its host jnp.pad
+                grm = gr0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (out_len, pc), 0
+                )
+                out = jnp.where((grm >= 0) & (grm < s), out, 0.0)
+            cur = out
+        out_ref[0] = cur  # A[n_lay] == 0 -> exactly [rows, pc]
+
+    grid = (b, nblk)
+    total_nq = mq_all.shape[0]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((total_nq, pc, pc), lambda bi, n: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_lay, pc), lambda bi, n: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_lay)]
+        + [
+            pl.BlockSpec((1, L, c2), lambda bi, n: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(n_lay)
+        ],
+        out_specs=pl.BlockSpec((1, rows, pc), lambda bi, n: (bi, n, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, pc), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, ext, pc), jnp.float32),
+            pltpu.VMEM((2, ext, pc), jnp.float32),
+            pltpu.VMEM((2, n_lay, bufw, kc, c2), kmats[0].dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, n_lay)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_lay * (s + 2 * a0) * pc * 3 * pc
+            + 2 * b * n_lay * L * hop * kc * c2,
+            bytes_accessed=4 * b * (3 * s * pc + n_lay * L * kc * c2),
+            transcendentals=2 * b * n_lay * s * pc,
+        ),
+        interpret=interpret,
+    )(xpad, adpad, mq_all, cb_rows, *kmats, *lvc_biases)
+
+
+def mono_block_supported(L: int, hop: int, p: int, n_lay: int = 4) -> bool:
+    """Static gate for ublock_block_packed: hop/P must be sublane-aligned and
+    the sequence long enough to hold one window buffer (same arithmetic as
+    the kernel's pickers)."""
+    if hop % p or (hop // p) % 8:
+        return False
+    rpw = hop // p
+    # margins: dilations 3^i with pad_y=8 all round to E=16 for p=4; compute
+    # generically from the conv tap reach bound (matches the kernel's E/A)
+    a1 = sum(
+        (max(-(-(3 ** i) // p) + 8, 1) + 7) // 8 * 8 for i in range(1, n_lay)
+    )
+    wm = -(-a1 // rpw)
+    wpb = max(1, min(L - 2 * wm, 512 // max(1, rpw), 16))
+    while wpb > 1 and (L % wpb or (wpb * rpw) % 8):
+        wpb -= 1
+    if L % wpb or (wpb * rpw) % 8:
+        return False
+    return L >= wpb + 2 * wm

@@ -141,3 +141,25 @@ def test_padded_chain_forward_matches(monkeypatch):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(chained), np.asarray(want_linen),
                                atol=5e-5)
+
+
+def test_mono_block_forward_matches(monkeypatch):
+    """_MONO_BLOCK (whole LVC block in one pallas_call) must be numerically
+    indistinguishable from the per-layer packed forward and from linen."""
+    import prodiff_tpu.models.fastdiff as fd_mod
+
+    b, L, hop = 2, 16, 256
+    t = L * hop
+    net = FastDiff(cond_channels=16, use_packed=False)
+    net_packed = FastDiff(cond_channels=16, use_packed=True)
+    audio = jnp.asarray(RNG.normal(size=(b, t, 1)).astype(np.float32))
+    cond = jnp.asarray(RNG.normal(size=(b, L, 16)).astype(np.float32))
+    steps = jnp.full((b, 1), 2.5, jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), audio, cond, steps)
+    want_linen = net.apply(params, audio, cond, steps)
+    plain = net_packed.apply(params, audio, cond, steps)
+    monkeypatch.setattr(fd_mod, "_MONO_BLOCK", True)
+    mono = net_packed.apply(params, audio, cond, steps)
+    np.testing.assert_allclose(np.asarray(mono), np.asarray(plain), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(mono), np.asarray(want_linen),
+                               atol=7e-5)

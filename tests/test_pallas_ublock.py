@@ -143,3 +143,64 @@ def test_padded_chain_matches_plain():
             np.testing.assert_array_equal(np.asarray(cur[:, -ioh:]), 0.0)
     np.testing.assert_allclose(
         np.asarray(cur), np.asarray(want), atol=1e-5)
+
+
+@pytest.mark.parametrize("hop,L", [(256, 16), (64, 48)])
+def test_mono_block_matches_chained_layers(hop, L):
+    """ublock_block_packed (all 4 layers in one pallas_call, halo-margin
+    recompute) must match 4 chained per-layer kernels — which are themselves
+    golden vs the linen LVC body."""
+    from prodiff_tpu.ops.pallas.ublock import ublock_block_packed
+
+    cin, b = 32, 2
+    t = L * hop
+    x = jnp.asarray(RNG.normal(size=(b, t, cin)).astype(np.float32))
+    ad = jnp.asarray(RNG.normal(size=(b, t, cin)).astype(np.float32))
+    cks = [jnp.asarray(RNG.normal(size=(3, cin, cin)).astype(np.float32)) * 0.2
+           for _ in range(4)]
+    cbs = [jnp.asarray(RNG.normal(size=(cin,)).astype(np.float32)) * 0.1
+           for _ in range(4)]
+    kms = [jnp.asarray(
+        RNG.normal(size=(b, L, 3 * cin, 2 * cin)).astype(np.float32)) * 0.1
+        for _ in range(4)]
+    lbs = [jnp.asarray(
+        RNG.normal(size=(b, L, 2 * cin)).astype(np.float32)) * 0.1
+        for _ in range(4)]
+    xp, adp = pack(x, 4), pack(ad, 4)
+    want = xp
+    for i in range(4):
+        want = ublock_layer_packed(
+            want, adp, cks[i], cbs[i], kms[i], lbs[i], 3 ** i, hop,
+            interpret=True)
+    got = ublock_block_packed(
+        xp, adp, cks, cbs, kms, lbs, [3 ** i for i in range(4)], hop,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_mono_block_single_grid_block():
+    """nblk == 1 (whole sequence in one grid block): margins and the km
+    window clamps at BOTH sequence ends in the same block."""
+    from prodiff_tpu.ops.pallas.ublock import ublock_block_packed
+
+    cin, b, hop, L = 32, 1, 256, 8
+    t = L * hop
+    x = jnp.asarray(RNG.normal(size=(b, t, cin)).astype(np.float32))
+    ad = jnp.asarray(RNG.normal(size=(b, t, cin)).astype(np.float32))
+    cks = [jnp.asarray(RNG.normal(size=(3, cin, cin)).astype(np.float32)) * 0.2
+           for _ in range(4)]
+    cbs = [jnp.zeros((cin,), jnp.float32) for _ in range(4)]
+    kms = [jnp.asarray(
+        RNG.normal(size=(b, L, 3 * cin, 2 * cin)).astype(np.float32)) * 0.1
+        for _ in range(4)]
+    lbs = [jnp.zeros((b, L, 2 * cin), jnp.float32) for _ in range(4)]
+    xp, adp = pack(x, 4), pack(ad, 4)
+    want = xp
+    for i in range(4):
+        want = ublock_layer_packed(
+            want, adp, cks[i], cbs[i], kms[i], lbs[i], 3 ** i, hop,
+            interpret=True)
+    got = ublock_block_packed(
+        xp, adp, cks, cbs, kms, lbs, [3 ** i for i in range(4)], hop,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

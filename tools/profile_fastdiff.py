@@ -47,13 +47,15 @@ def chain(compute):
 def full_net(B, dtype, packed=False, fused_min_hop=None, max_blocks=None,
              skip_dconvs=False, skip_upsample=False, skip_kp=False,
              skip_first=False, skip_final=False, skip_rdense=False,
-             padded_chain=None):
+             padded_chain=None, mono_block=None):
     from prodiff_tpu.models import fastdiff as fd_mod
 
     if fused_min_hop is not None:
         fd_mod._FUSED_MIN_HOP = fused_min_hop
     if padded_chain is not None:
         fd_mod._PADDED_CHAIN = padded_chain
+    if mono_block is not None:
+        fd_mod._MONO_BLOCK = mono_block
     fd_mod._MAX_LVC_BLOCKS = 3 if max_blocks is None else max_blocks
     fd_mod._SKIP_DBLOCK_CONVS = skip_dconvs
     fd_mod._SKIP_UPSAMPLE = skip_upsample
@@ -469,6 +471,7 @@ PARTS = {
     "packed_full_nokp": lambda B, d: full_net(B, d, packed=True, skip_kp=True),
     "packed_fmh64": lambda B, d: full_net(B, d, packed=True, fused_min_hop=64),
     "packed_chain": lambda B, d: full_net(B, d, packed=True, padded_chain=True),
+    "packed_mono": lambda B, d: full_net(B, d, packed=True, mono_block=True),
     "packed_full_noup": lambda B, d: full_net(B, d, packed=True, skip_upsample=True),
     "xla_layers": xla_layers_only,
     "pk_first": lambda B, d: packed_edges(B, d, "first"),
