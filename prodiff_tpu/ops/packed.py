@@ -102,6 +102,19 @@ def _convk_selector(taps: Tuple[int, ...], pack_: int) -> Tuple[np.ndarray, Tupl
     return s, tuple(qs)
 
 
+def convk_taps(k: int, dilation: int) -> Tuple[int, ...]:
+    """SAME-padding tap offsets of an odd-k dilated conv — THE tap-position
+    convention every packed/fused conv in this framework shares (also
+    consumed by ops/pallas/resblock.py); change it here or nowhere."""
+    return tuple(dilation * (j - k // 2) for j in range(k))
+
+
+def convk_row_offsets(k: int, dilation: int, pack_: int) -> Tuple[int, ...]:
+    """The sparse packed-row offset set those taps reach at pack P."""
+    _, qs = _convk_selector(convk_taps(k, dilation), pack_)
+    return qs
+
+
 def convk_mixing_matrices(
     kernel: jnp.ndarray, dilation: int, pack_: int
 ) -> Tuple[jnp.ndarray, Tuple[int, ...]]:
@@ -110,8 +123,7 @@ def convk_mixing_matrices(
     (lax WIO layout), taps at ``dilation * (j - k//2)`` (SAME padding)."""
     k, cin, cout = kernel.shape
     assert k % 2 == 1, f"packed conv needs odd kernel (got {k})"
-    taps = tuple(dilation * (j - k // 2) for j in range(k))
-    s_np, qs = _convk_selector(taps, pack_)
+    s_np, qs = _convk_selector(convk_taps(k, dilation), pack_)
     m = jnp.einsum("qabt,tio->qaibo", jnp.asarray(s_np).astype(kernel.dtype), kernel)
     return m.reshape(len(qs), pack_ * cin, pack_ * cout), qs
 
@@ -122,8 +134,7 @@ def conv3_mixing_matrices(kernel, dilation, pack_):
 
 
 def _convk_tap_range(k: int, dilation: int, pack_: int) -> Tuple[int, int]:
-    taps = tuple(dilation * (j - k // 2) for j in range(k))
-    _, qs = _convk_selector(taps, pack_)
+    qs = convk_row_offsets(k, dilation, pack_)
     return min(qs), max(qs)
 
 

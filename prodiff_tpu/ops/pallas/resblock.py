@@ -34,7 +34,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from prodiff_tpu.ops.packed import _convk_selector, convk_mixing_matrices
+from prodiff_tpu.ops.packed import convk_mixing_matrices, convk_row_offsets
 
 LRELU_SLOPE = 0.1  # HiFiGAN-family slope (FastDiff's UBlock uses 0.2)
 
@@ -44,9 +44,7 @@ def _leaky(x):
 
 
 def _conv_qs(k: int, d: int, p: int) -> Tuple[int, ...]:
-    taps = tuple(d * (j - k // 2) for j in range(k))
-    _, qs = _convk_selector(taps, p)
-    return qs
+    return convk_row_offsets(k, d, p)
 
 
 @functools.lru_cache(maxsize=64)
@@ -102,6 +100,78 @@ def prepare_resblock_stage(
                 mats.append(m.reshape(-1, m.shape[-1]))
                 biases.append(jnp.tile(cp["bias"].astype(jnp.float32), p))
     return jnp.concatenate(mats, axis=0), jnp.stack(biases, axis=0)
+
+
+def _stage_walk(x_t, weight_begin, weight_rows, bias_at, wdtype, mask_seq,
+                convs, n_res, res_dsizes, rows, halo,
+                fat_dots=False, fat_rows=None):
+    """The residual walk shared by the VMEM-resident and weight-streamed
+    kernels — the conv/mask/residual math exists once; the variants differ
+    only in where each conv's tap rows come from.
+
+    weight_begin(ci): per-conv hook run before the dots (the streamed kernel
+    waits its weight DMA and prefetches the next conv's there; no-op for the
+    VMEM-resident variant). weight_rows(ci, qi) -> [CL, CL] tap rows.
+    fat_rows(ci, nq) -> the whole [nq*CL, CL] block (fat-dot study path).
+    """
+
+    def conv(y, ci, origin):
+        """y: [E, CL] f32 at ``origin``; returns ([E', CL] f32, origin')
+        with E' = E - (qmax - qmin), origin' = origin - qmin."""
+        qs = convs[ci]
+        nq = len(qs)
+        qmin, qmax = min(qs), max(qs)
+        e_out = y.shape[0] - (qmax - qmin)
+        weight_begin(ci)
+        yb = y.astype(wdtype)
+        if fat_dots and nq > 1:
+            # one K = nq*CL contraction per conv: the tap slices land in
+            # a lane-stacked operand against the row-flattened [nq*CL,
+            # CL] weight block — ~7x fewer dot setups per stage. BLOCKED
+            # on current Mosaic (kept for interpret-mode study): tpu.
+            # concatenate rejects operands at different sublane phases
+            # (vpad offsets {0,0}/{1,0}/{2,0}) in ANY dtype, which the
+            # misaligned tap slices inevitably are. Default stays the
+            # per-tap dot loop.
+            stacked = jnp.concatenate(
+                [y[q - qmin : q - qmin + e_out] for q in qs], axis=1
+            ).astype(wdtype)  # [E', nq*CL]
+            acc = jax.lax.dot_general(
+                stacked, fat_rows(ci, nq),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            acc = None
+            for qi, q in enumerate(qs):
+                contrib = jax.lax.dot_general(
+                    yb[q - qmin : q - qmin + e_out],
+                    weight_rows(ci, qi),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = contrib if acc is None else acc + contrib
+        acc = acc + bias_at(ci)[None, :]
+        return mask_seq(acc, origin - qmin), origin - qmin
+
+    out = None
+    ci = 0
+    for j in range(n_res):
+        h = x_t
+        o_h = 0
+        for _ in range(len(res_dsizes[j])):
+            xt, o = conv(_leaky(h), ci, o_h)
+            ci += 1
+            xt, o = conv(_leaky(xt), ci, o)
+            ci += 1
+            shift = o - o_h
+            h = xt + h[shift : shift + xt.shape[0]]
+            o_h = o
+        # center slice to the block's `rows` (origin `halo` in x_t space)
+        lo = halo - o_h
+        hc = h[lo : lo + rows]
+        out = hc if out is None else out + hc
+    return out * (1.0 / n_res)
 
 
 def resblock_group_streamed(
@@ -189,10 +259,7 @@ def resblock_group_streamed(
             gr = n * rows - halo + origin + r
             return jnp.where((gr >= 0) & (gr < s), y, 0.0)
 
-        def conv(y, ci, origin):
-            qs = convs[ci]
-            qmin, qmax = min(qs), max(qs)
-            e_out = y.shape[0] - (qmax - qmin)
+        def weight_begin(ci):
             wdma(ci % 2, ci).wait()
             if ci + 1 < n_convs:
                 wdma((ci + 1) % 2, ci + 1).start()
@@ -203,36 +270,12 @@ def resblock_group_streamed(
                 def _():
                     wdma(0, 0).start()
 
-            yb = y.astype(weights.dtype)
-            acc = None
-            for qi, q in enumerate(qs):
-                contrib = jax.lax.dot_general(
-                    yb[q - qmin : q - qmin + e_out],
-                    ws[ci % 2, qi * c : (qi + 1) * c],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                acc = contrib if acc is None else acc + contrib
-            acc = acc + b_ref[ci][None, :]
-            return mask_seq(acc, origin - qmin), origin - qmin
-
-        out = None
-        ci = 0
-        for j in range(n_res):
-            h = x_t
-            o_h = 0
-            for _ in range(len(res_dsizes[j])):
-                xt, o = conv(_leaky(h), ci, o_h)
-                ci += 1
-                xt, o = conv(_leaky(xt), ci, o)
-                ci += 1
-                shift = o - o_h
-                h = xt + h[shift : shift + xt.shape[0]]
-                o_h = o
-            lo = halo - o_h
-            hc = h[lo : lo + rows]
-            out = hc if out is None else out + hc
-        out_ref[0] = out * (1.0 / n_res)
+        out_ref[0] = _stage_walk(
+            x_t, weight_begin,
+            lambda ci, qi: ws[ci % 2, qi * c : (qi + 1) * c],
+            lambda ci: b_ref[ci], weights.dtype, mask_seq,
+            convs, n_res, res_dsizes, rows, halo,
+        )
 
     total_taps = sum(len(qs) for qs in convs)
     return pl.pallas_call(
@@ -338,63 +381,19 @@ def resblock_group_packed(
             gr = n * rows - halo + origin + r
             return jnp.where((gr >= 0) & (gr < s), y, 0.0)
 
-        def conv(y, ci, origin):
-            """y: [E, CL] f32 at ``origin``; returns ([E', CL] f32, origin')
-            with E' = E - (qmax - qmin), origin' = origin - qmin."""
-            qs = convs[ci]
-            nq = len(qs)
-            qmin, qmax = min(qs), max(qs)
-            e_out = y.shape[0] - (qmax - qmin)
-            yb = y.astype(weights.dtype)
+        def weight_rows(ci, qi):
             w0 = int(woff[ci]) * cl
-            if fat_dots and nq > 1:
-                # one K = nq*CL contraction per conv: the tap slices land in
-                # a lane-stacked operand against the row-flattened [nq*CL,
-                # CL] weight block — ~7x fewer dot setups per stage. BLOCKED
-                # on current Mosaic (kept for interpret-mode study): tpu.
-                # concatenate rejects operands at different sublane phases
-                # (vpad offsets {0,0}/{1,0}/{2,0}) in ANY dtype, which the
-                # misaligned tap slices inevitably are. Default stays the
-                # per-tap dot loop.
-                stacked = jnp.concatenate(
-                    [y[q - qmin : q - qmin + e_out] for q in qs], axis=1
-                ).astype(weights.dtype)  # [E', nq*CL]
-                acc = jax.lax.dot_general(
-                    stacked, w_ref[w0 : w0 + nq * cl],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            else:
-                acc = None
-                for qi, q in enumerate(qs):
-                    contrib = jax.lax.dot_general(
-                        yb[q - qmin : q - qmin + e_out],
-                        w_ref[w0 + qi * cl : w0 + (qi + 1) * cl],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    acc = contrib if acc is None else acc + contrib
-            acc = acc + b_ref[ci][None, :]
-            return mask_seq(acc, origin - qmin), origin - qmin
+            return w_ref[w0 + qi * cl : w0 + (qi + 1) * cl]
 
-        out = None
-        ci = 0
-        for j in range(n_res):
-            h = x_t
-            o_h = 0
-            for _ in range(len(res_dsizes[j])):
-                xt, o = conv(_leaky(h), ci, o_h)
-                ci += 1
-                xt, o = conv(_leaky(xt), ci, o)
-                ci += 1
-                shift = o - o_h
-                h = xt + h[shift : shift + xt.shape[0]]
-                o_h = o
-            # center slice to the block's `rows` (origin `halo` in x_t space)
-            lo = halo - o_h
-            hc = h[lo : lo + rows]
-            out = hc if out is None else out + hc
-        out_ref[0] = out * (1.0 / n_res)
+        def fat_rows(ci, nq):
+            w0 = int(woff[ci]) * cl
+            return w_ref[w0 : w0 + nq * cl]
+
+        out_ref[0] = _stage_walk(
+            x_t, lambda ci: None, weight_rows, lambda ci: b_ref[ci],
+            weights.dtype, mask_seq, convs, n_res, res_dsizes, rows, halo,
+            fat_dots=fat_dots, fat_rows=fat_rows,
+        )
 
     return pl.pallas_call(
         kernel,

@@ -120,6 +120,50 @@ def _stack_raw(p, layer, n_layers: int) -> StackedWaveNet:
     )
 
 
+def _wavenet_layer_step(x_scr, skip_scr, step_v, mask_v, cond_v, dw, db,
+                        diffw, diffb, condw, condb, outw, outb, c, t_len,
+                        save_x=None, save_z=None):
+    """One residual layer's body on VMEM-resident values — shared by the
+    inference kernels here and the training save-forward kernel
+    (ops/pallas/wavenet_train.py), so the layer math exists once.
+
+    Reads x from / writes x and the skip accumulator back to the scratch
+    refs. ``save_x``/``save_z`` are the training forward's residual hooks
+    (called with the pre-step-proj x and the post-cond z)."""
+    x = x_scr[:]
+    cdt = dw.dtype  # MXU stream/compute dtype (f32 or bf16)
+    if save_x is not None:
+        save_x(x)
+    # y = x + diffusion step projection (broadcast over T)
+    step_proj = (
+        jnp.dot(step_v.astype(cdt), diffw, preferred_element_type=jnp.float32)
+        + diffb
+    )  # [1, C]
+    y = ((x + step_proj) * mask_v).astype(cdt)
+
+    # k=3, dilation=1 conv as three shifted matmuls
+    z = jnp.dot(y, dw[1], preferred_element_type=jnp.float32)
+    y_prev = jnp.concatenate([jnp.zeros_like(y[:1]), y[: t_len - 1]], axis=0)
+    y_next = jnp.concatenate([y[1:], jnp.zeros_like(y[:1])], axis=0)
+    z += jnp.dot(y_prev, dw[0], preferred_element_type=jnp.float32)
+    z += jnp.dot(y_next, dw[2], preferred_element_type=jnp.float32)
+    z += db
+    z += (
+        jnp.dot(cond_v.astype(cdt), condw, preferred_element_type=jnp.float32)
+        + condb
+    )
+    if save_z is not None:
+        save_z(z)
+
+    gate = jax.nn.sigmoid(z[:, :c]) * jnp.tanh(z[:, c:])
+    o = (
+        jnp.dot(gate.astype(cdt), outw, preferred_element_type=jnp.float32)
+        + outb
+    )  # [T, 2C]
+    x_scr[:] = (x + o[:, :c]) * RSQRT2
+    skip_scr[:] = skip_scr[:] + o[:, c:]
+
+
 def fused_residual_stack(
     x0: jax.Array,  # [T, C]
     cond: jax.Array,  # [T, H]
@@ -172,38 +216,11 @@ def fused_residual_stack(
             x_scr[:] = x0_ref[:]
             skip_scr[:] = jnp.zeros_like(skip_scr)
 
-        x = x_scr[:]
-        dw = dw_ref[0]  # [3, C, 2C]
-        cdt = dw.dtype  # MXU stream/compute dtype (f32 or bf16)
-        # y = x + diffusion step projection (broadcast over T)
-        step_proj = (
-            jnp.dot(step_ref[:].astype(cdt), diffw_ref[0],
-                    preferred_element_type=jnp.float32)
-            + diffb_ref[0]
-        )  # [1, C]
-        y = ((x + step_proj) * mask_ref[:]).astype(cdt)
-
-        # k=3, dilation=1 conv as three shifted matmuls
-        z = jnp.dot(y, dw[1], preferred_element_type=jnp.float32)
-        y_prev = jnp.concatenate([jnp.zeros_like(y[:1]), y[: t - 1]], axis=0)
-        y_next = jnp.concatenate([y[1:], jnp.zeros_like(y[:1])], axis=0)
-        z += jnp.dot(y_prev, dw[0], preferred_element_type=jnp.float32)
-        z += jnp.dot(y_next, dw[2], preferred_element_type=jnp.float32)
-        z += db_ref[0]
-        z += (
-            jnp.dot(cond_ref[:].astype(cdt), condw_ref[0],
-                    preferred_element_type=jnp.float32)
-            + condb_ref[0]
+        _wavenet_layer_step(
+            x_scr, skip_scr, step_ref[:], mask_ref[:], cond_ref[:],
+            dw_ref[0], db_ref[0], diffw_ref[0], diffb_ref[0], condw_ref[0],
+            condb_ref[0], outw_ref[0], outb_ref[0], c, t,
         )
-
-        gate = jax.nn.sigmoid(z[:, :c]) * jnp.tanh(z[:, c:])
-        o = (
-            jnp.dot(gate.astype(cdt), outw_ref[0],
-                    preferred_element_type=jnp.float32)
-            + outb_ref[0]
-        )  # [T, 2C]
-        x_scr[:] = (x + o[:, :c]) * RSQRT2
-        skip_scr[:] = skip_scr[:] + o[:, c:]
 
         @pl.when(l == n_layers - 1)
         def _():
@@ -285,34 +302,11 @@ def fused_residual_stack_tiled(
             x_scr[:] = x0_ref[0]
             skip_scr[:] = jnp.zeros_like(skip_scr)
 
-        x = x_scr[:]
-        dw = dw_ref[0]
-        cdt = dw.dtype
-        step_proj = (
-            jnp.dot(step_ref[:].astype(cdt), diffw_ref[0],
-                    preferred_element_type=jnp.float32)
-            + diffb_ref[0]
+        _wavenet_layer_step(
+            x_scr, skip_scr, step_ref[:], mask_ref[0], cond_ref[0],
+            dw_ref[0], db_ref[0], diffw_ref[0], diffb_ref[0], condw_ref[0],
+            condb_ref[0], outw_ref[0], outb_ref[0], c, wlen,
         )
-        y = ((x + step_proj) * mask_ref[0]).astype(cdt)
-        z = jnp.dot(y, dw[1], preferred_element_type=jnp.float32)
-        y_prev = jnp.concatenate([jnp.zeros_like(y[:1]), y[: wlen - 1]], axis=0)
-        y_next = jnp.concatenate([y[1:], jnp.zeros_like(y[:1])], axis=0)
-        z += jnp.dot(y_prev, dw[0], preferred_element_type=jnp.float32)
-        z += jnp.dot(y_next, dw[2], preferred_element_type=jnp.float32)
-        z += db_ref[0]
-        z += (
-            jnp.dot(cond_ref[0].astype(cdt), condw_ref[0],
-                    preferred_element_type=jnp.float32)
-            + condb_ref[0]
-        )
-        gate = jax.nn.sigmoid(z[:, :c]) * jnp.tanh(z[:, c:])
-        o = (
-            jnp.dot(gate.astype(cdt), outw_ref[0],
-                    preferred_element_type=jnp.float32)
-            + outb_ref[0]
-        )
-        x_scr[:] = (x + o[:, :c]) * RSQRT2
-        skip_scr[:] = skip_scr[:] + o[:, c:]
 
         @pl.when(l == n_layers - 1)
         def _():

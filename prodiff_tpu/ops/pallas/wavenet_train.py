@@ -34,7 +34,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from prodiff_tpu.ops.pallas.wavenet import RSQRT2, fused_residual_stack_tiled
+from prodiff_tpu.ops.pallas.wavenet import (
+    RSQRT2,
+    _wavenet_layer_step,
+    fused_residual_stack_tiled,
+)
 
 DEFAULT_TILE = 512
 DEFAULT_HALO = 24  # >= n_layers + 1 for the 20-layer reference stack
@@ -102,36 +106,18 @@ def _fwd_save_single(x0, cond, step, dw, db, diffw, diffb, condw, condb,
             x_scr[:] = x0_ref[0]
             skip_scr[:] = jnp.zeros_like(skip_scr)
 
-        x = x_scr[:]
-        dwk = dw_ref[0]
-        cdt = dwk.dtype
-        xs_ref[0, 0] = x.astype(xs_ref.dtype)
-        step_proj = (
-            jnp.dot(step_ref[:].astype(cdt), diffw_ref[0],
-                    preferred_element_type=jnp.float32)
-            + diffb_ref[0]
+        def save_x(x):
+            xs_ref[0, 0] = x.astype(xs_ref.dtype)
+
+        def save_z(z):
+            zs_ref[0, 0] = z.astype(zs_ref.dtype)
+
+        _wavenet_layer_step(
+            x_scr, skip_scr, step_ref[:], mask_ref[0], cond_ref[0],
+            dw_ref[0], db_ref[0], diffw_ref[0], diffb_ref[0], condw_ref[0],
+            condb_ref[0], outw_ref[0], outb_ref[0], c, wlen,
+            save_x=save_x, save_z=save_z,
         )
-        y = ((x + step_proj) * mask_ref[0]).astype(cdt)
-        z = jnp.dot(y, dwk[1], preferred_element_type=jnp.float32)
-        y_prev = jnp.concatenate([jnp.zeros_like(y[:1]), y[: wlen - 1]], axis=0)
-        y_next = jnp.concatenate([y[1:], jnp.zeros_like(y[:1])], axis=0)
-        z += jnp.dot(y_prev, dwk[0], preferred_element_type=jnp.float32)
-        z += jnp.dot(y_next, dwk[2], preferred_element_type=jnp.float32)
-        z += db_ref[0]
-        z += (
-            jnp.dot(cond_ref[0].astype(cdt), condw_ref[0],
-                    preferred_element_type=jnp.float32)
-            + condb_ref[0]
-        )
-        zs_ref[0, 0] = z.astype(zs_ref.dtype)
-        gate = jax.nn.sigmoid(z[:, :c]) * jnp.tanh(z[:, c:])
-        o = (
-            jnp.dot(gate.astype(cdt), outw_ref[0],
-                    preferred_element_type=jnp.float32)
-            + outb_ref[0]
-        )
-        x_scr[:] = (x + o[:, :c]) * RSQRT2
-        skip_scr[:] = skip_scr[:] + o[:, c:]
 
         @pl.when(l == n_layers - 1)
         def _():
