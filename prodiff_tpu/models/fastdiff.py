@@ -357,15 +357,19 @@ class FastDiff(nn.Module):
 _FUSED_MIN_HOP = 64
 # Chain the fused layers through halo-padded in/out (one pad per block
 # instead of one full-tensor jnp.pad copy per layer; the kernel emits
-# zeroed halos). Interpret-parity-identical to the plain mode; default OFF
-# until measured on a real chip (the TPU relay was down when built).
-_PADDED_CHAIN = False
+# zeroed halos). Interpret-parity-identical to the plain mode. Measured
+# (v5e, full net): B=4 7.71 ms vs 8.33 plain (7.5% — the per-layer pads
+# scale with batch), B=1 statistically even across runs (2.62-2.65 vs
+# 2.59-2.69; relay noise exceeds the delta) -> default ON.
+_PADDED_CHAIN = True
 # Run ALL layers of a fused block in ONE pallas_call (ops/pallas/ublock.py:
 # ublock_block_packed) — inter-layer activations stay in VMEM, recomputing a
 # shrinking halo margin per layer; ~4x less activation HBM traffic than the
-# per-layer kernels. Interpret-parity-identical; default OFF until measured
-# on a real chip (built while the TPU relay was down). Supersedes
-# _PADDED_CHAIN where supported.
+# per-layer kernels. Interpret-parity-identical, but MEASURED SLOWER on v5e
+# (2.83/8.80 ms B=1/B=4 full net vs 2.59-2.69/8.33 plain, 7.71 chain): the
+# shrinking-margin recompute, per-window pair converts, and the serialized
+# whole-block body lose more than the activation round-trips cost. Kept for
+# the profiler A/B (packed_mono) and as the base for future fat-dot work.
 _MONO_BLOCK = False
 # diagnostic knobs (tools/profile_fastdiff.py): run only the first N LVC
 # blocks' layer loops (upsamples still run so shapes stay correct); skip
@@ -521,7 +525,7 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps, kp_out=None):
             # copy on a traffic-bound kernel (~2 extra tensor copies/layer).
             n_lay = net.lvc_layers_each_block
             if _MONO_BLOCK and mono_block_supported(
-                L_mel, cond_hop, p, n_lay
+                L_mel, cond_hop, p, n_lay, cin=cin
             ):
                 kls = [layer_kernels(i) for i in range(n_lay)]
                 xp = ublock_block_packed(

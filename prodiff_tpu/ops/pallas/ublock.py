@@ -559,6 +559,29 @@ def ublock_block_packed(
         f"ublock_block_packed needs hop/P % 8 == 0 (got {rpw}); "
         "use per-layer kernels for smaller hops"
     )
+    # Mosaic requires manually-DMA'd slices to be 128-lane aligned, and the
+    # per-layer kmat trailing dim is 2C = 64: a [.., kc, 64] window DMA fails
+    # to lower ("slice shape along dimension 3 must be aligned to tiling").
+    # Adjacent layers' kmats are therefore lane-CONCATENATED pairwise into
+    # [B, L, kc, 2*c2] buffers (XLA fuses the concat into the same flat-KP
+    # relayout that already materialises the per-layer kmats — same bytes),
+    # DMA'd per pair, and split in-kernel with the roll-then-slice-at-0
+    # idiom (offset lane slices and bf16 rolls are not supported, so the
+    # split happens after the f32 convert).
+    assert (2 * c2) % 128 == 0, (
+        f"ublock_block_packed needs 2*c2 % 128 == 0 (got c2={c2}); "
+        "mono_block_supported gates this"
+    )
+    n_pair = (n_lay + 1) // 2
+    km_pairs = []
+    for i in range(n_pair):
+        lo = kmats[2 * i]
+        hi = (
+            kmats[2 * i + 1]
+            if 2 * i + 1 < n_lay
+            else jnp.zeros_like(kmats[2 * i])
+        )
+        km_pairs.append(jnp.concatenate([lo, hi], axis=-1))
     pad_y = 8
 
     mqs, qss = [], []
@@ -601,10 +624,10 @@ def ublock_block_packed(
     ext = rows + 2 * a0
 
     def kernel(x_hbm, ad_hbm, mq_ref, cb_ref, *rest):
-        km_hbm = rest[:n_lay]
-        lb_refs = rest[n_lay : 2 * n_lay]
-        out_ref = rest[2 * n_lay]
-        xs, ads, kms, asem, ksem = rest[2 * n_lay + 1 :]
+        km_hbm = rest[:n_pair]
+        lb_refs = rest[n_pair : n_pair + n_lay]
+        out_ref = rest[n_pair + n_lay]
+        xs, ads, kms, asem, ksem = rest[n_pair + n_lay + 1 :]
         bi = pl.program_id(0)
         n = pl.program_id(1)
         g = bi * nblk + n
@@ -626,12 +649,12 @@ def ublock_block_packed(
                 ),
             ]
             st = km_start(blk)
-            for l in range(n_lay):
+            for i in range(n_pair):
                 cps.append(
                     pltpu.make_async_copy(
-                        km_hbm[l].at[bb, pl.ds(st, bufw)],
-                        kms.at[slot, l],
-                        ksem.at[slot, l],
+                        km_hbm[i].at[bb, pl.ds(st, bufw)],
+                        kms.at[slot, i],
+                        ksem.at[slot, i],
                     )
                 )
             return cps
@@ -671,7 +694,12 @@ def ublock_block_packed(
                 r_start = max(k * rpw + a_out, 0)
                 r_end = min((k + 1) * rpw + a_out, out_len)
                 idx = jnp.clip(k + wm + delta, 0, bufw - 1)
-                km = kms[slot, l, idx].astype(jnp.float32)
+                pair = kms[slot, l // 2, idx].astype(jnp.float32)
+                km = (
+                    pair[:, :c2]
+                    if l % 2 == 0
+                    else pltpu.roll(pair, c2, 1)[:, :c2]
+                )
                 lb = lb_refs[l][0, jnp.clip(n * wpb + k, 0, L - 1)]
                 windows.append((km, lb, r_start, r_end - r_start))
 
@@ -704,7 +732,7 @@ def ublock_block_packed(
             pl.BlockSpec((n_lay, pc), lambda bi, n: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
-        + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_lay)]
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_pair)]
         + [
             pl.BlockSpec((1, L, c2), lambda bi, n: (bi, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -716,9 +744,9 @@ def ublock_block_packed(
         scratch_shapes=[
             pltpu.VMEM((2, ext, pc), jnp.float32),
             pltpu.VMEM((2, ext, pc), jnp.float32),
-            pltpu.VMEM((2, n_lay, bufw, kc, c2), kmats[0].dtype),
+            pltpu.VMEM((2, n_pair, bufw, kc, 2 * c2), kmats[0].dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2, n_lay)),
+            pltpu.SemaphoreType.DMA((2, n_pair)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n_lay * (s + 2 * a0) * pc * 3 * pc
@@ -727,13 +755,18 @@ def ublock_block_packed(
             transcendentals=2 * b * n_lay * s * pc,
         ),
         interpret=interpret,
-    )(xpad, adpad, mq_all, cb_rows, *kmats, *lvc_biases)
+    )(xpad, adpad, mq_all, cb_rows, *km_pairs, *lvc_biases)
 
 
-def mono_block_supported(L: int, hop: int, p: int, n_lay: int = 4) -> bool:
-    """Static gate for ublock_block_packed: hop/P must be sublane-aligned and
-    the sequence long enough to hold one window buffer (same arithmetic as
-    the kernel's pickers)."""
+def mono_block_supported(
+    L: int, hop: int, p: int, n_lay: int = 4, cin: int = 32
+) -> bool:
+    """Static gate for ublock_block_packed: hop/P must be sublane-aligned,
+    the kmat lane pairs 128-aligned (2*2C % 128), and the sequence long
+    enough to hold one window buffer (same arithmetic as the kernel's
+    pickers)."""
+    if (4 * cin) % 128:
+        return False
     if hop % p or (hop // p) % 8:
         return False
     rpw = hop // p
