@@ -27,6 +27,18 @@ import numpy as np
 
 LRELU_SLOPE = 0.1
 
+# Fat-N dot chunk for the fused resblock kernel (ops/pallas/resblock.py):
+# > 0 makes prepare_packed_trunk_params emit the WIDE [CL, sum_nq*CL] tap
+# layout and each conv contracts `chunk` taps per [E, CL] @ [CL, chunk*CL]
+# dot (output-side tap shifts) instead of nq per-tap dots. The trunk
+# auto-detects the layout from the prepared weight shape, so prepared trees
+# built under either setting keep working. MEASURED NEGATIVE on v5e
+# (prepared generator B=1: 4.44/4.45/4.50 ms at chunk 2/4/8 vs 4.42
+# per-tap) — the per-tap dots are not setup-bound, and the misaligned tap
+# shifts cost the same on the output side as on the input side. 0 =
+# per-tap (default); kept as a parity-tested study path.
+_RES_FAT_CHUNK = 0
+
 
 def get_padding(kernel_size: int, dilation: int = 1) -> int:
     return (kernel_size * dilation - dilation) // 2
@@ -597,8 +609,10 @@ def packed_hifigan_trunk(
             from prodiff_tpu.ops.pallas.resblock import resblock_group_packed
 
             rf = params[f"resfused_{i}"]
+            wide = rf["w"].shape[0] < rf["w"].shape[1]
             x = resblock_group_packed(
                 x, rf["w"], rf["b"], res_ksizes, res_dsizes, max(p_cur, 1),
+                fat_chunk=max(_RES_FAT_CHUNK, 1) if wide else 0,
                 interpret=jax.devices()[0].platform not in ("tpu", "axon"),
             )
             p_prev = p_cur
@@ -767,7 +781,7 @@ def prepare_packed_trunk_params(
             ]
             w, bs = prepare_resblock_stage(
                 stage_rbs, res_ksizes, res_dsizes, max(p_cur, 1),
-                dtype=fused_res_dtype,
+                dtype=fused_res_dtype, wide=_RES_FAT_CHUNK > 0,
             )
             out[f"resfused_{i}"] = {"w": w, "b": bs}
         elif not stream:  # plain XLA stage (streamed stages already emitted

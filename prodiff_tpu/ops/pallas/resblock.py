@@ -78,6 +78,7 @@ def prepare_resblock_stage(
     res_dsizes: Sequence[Sequence[int]],
     p: int,
     dtype=jnp.bfloat16,
+    wide: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Concatenated sparse tap stacks + lane-tiled biases for one stage.
 
@@ -87,6 +88,12 @@ def prepare_resblock_stage(
     rows so the kernel's fat-dot path slices [nq*CL, CL] blocks without a
     VMEM reshape (Mosaic rejects leading-dim merges of VMEM values) —
     and biases [n_convs, P*C] f32).
+
+    ``wide=True`` emits the lane-stacked layout [P*C, sum_nq * P*C] instead
+    (conv ci's tap qi at lanes [(woff[ci]+qi)*CL, ...+CL)) for the fat-N dot
+    path: one [E, CL] @ [CL, nq*CL] contraction per conv with the tap shifts
+    applied to the OUTPUT rows (128-aligned lane slices — legal in Mosaic,
+    unlike the sublane-phase-mismatched input concat the fat-K path needs).
     """
     mats = []
     biases = []
@@ -97,14 +104,21 @@ def prepare_resblock_stage(
                 m, qs = convk_mixing_matrices(
                     cp["kernel"].astype(dtype), dd, p
                 )  # sparse [nq, P*C, P*C]
-                mats.append(m.reshape(-1, m.shape[-1]))
+                if wide:
+                    mats.append(m.transpose(1, 0, 2).reshape(m.shape[1], -1))
+                else:
+                    mats.append(m.reshape(-1, m.shape[-1]))
                 biases.append(jnp.tile(cp["bias"].astype(jnp.float32), p))
-    return jnp.concatenate(mats, axis=0), jnp.stack(biases, axis=0)
+    return (
+        jnp.concatenate(mats, axis=1 if wide else 0),
+        jnp.stack(biases, axis=0),
+    )
 
 
 def _stage_walk(x_t, weight_begin, weight_rows, bias_at, wdtype, mask_seq,
                 convs, n_res, res_dsizes, rows, halo,
-                fat_dots=False, fat_rows=None):
+                fat_dots=False, fat_rows=None,
+                fat_chunk=0, wide_cols=None):
     """The residual walk shared by the VMEM-resident and weight-streamed
     kernels — the conv/mask/residual math exists once; the variants differ
     only in where each conv's tap rows come from.
@@ -113,6 +127,12 @@ def _stage_walk(x_t, weight_begin, weight_rows, bias_at, wdtype, mask_seq,
     waits its weight DMA and prefetches the next conv's there; no-op for the
     VMEM-resident variant). weight_rows(ci, qi) -> [CL, CL] tap rows.
     fat_rows(ci, nq) -> the whole [nq*CL, CL] block (fat-dot study path).
+    fat_chunk/wide_cols: the fat-N path — wide_cols(ci, j0, nj) -> the
+    [CL, nj*CL] lane-stacked weight slab for taps [j0, j0+nj); one
+    [E, CL] @ [CL, nj*CL] dot per chunk with the tap shifts applied to the
+    OUTPUT rows (lane slices at CL multiples — legal, unlike fat-K's
+    sublane-phase-mismatched input concat). fat_chunk bounds the transient
+    [E, nj*CL] f32 per-chunk VMEM.
     """
 
     def conv(y, ci, origin):
@@ -124,7 +144,23 @@ def _stage_walk(x_t, weight_begin, weight_rows, bias_at, wdtype, mask_seq,
         e_out = y.shape[0] - (qmax - qmin)
         weight_begin(ci)
         yb = y.astype(wdtype)
-        if fat_dots and nq > 1:
+        if fat_chunk and nq > 1:
+            cl = y.shape[1]
+            acc = None
+            for j0 in range(0, nq, fat_chunk):
+                nj = min(fat_chunk, nq - j0)
+                y_all = jax.lax.dot_general(
+                    yb, wide_cols(ci, j0, nj),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [E, nj*CL]; row r holds every tap's contrib for row r
+                for t in range(nj):
+                    q = qs[j0 + t]
+                    contrib = y_all[
+                        q - qmin : q - qmin + e_out, t * cl : (t + 1) * cl
+                    ]
+                    acc = contrib if acc is None else acc + contrib
+        elif fat_dots and nq > 1:
             # one K = nq*CL contraction per conv: the tap slices land in
             # a lane-stacked operand against the row-flattened [nq*CL,
             # CL] weight block — ~7x fewer dot setups per stage. BLOCKED
@@ -318,6 +354,7 @@ def resblock_group_packed(
     p: int,
     rows_per_block: int = 1024,
     fat_dots: bool = False,
+    fat_chunk: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """out = mean_j ResBlock1_j(xp), fused.
@@ -325,6 +362,11 @@ def resblock_group_packed(
     xp: [B, S, CL] f32 packed rows (CL == P*C == 128); weights/biases from
     :func:`prepare_resblock_stage` (weights may be bf16 — the dots accumulate
     f32); returns [B, S, CL] f32.
+
+    ``fat_chunk > 0``: the fat-N dot path — ``weights`` must be the WIDE
+    [CL, sum_nq*CL] layout (``prepare_resblock_stage(wide=True)``); each
+    conv runs ceil(nq/fat_chunk) [E, CL] @ [CL, chunk*CL] dots instead of
+    nq [E', CL] @ [CL, CL] dots, shifting tap rows on the output side.
     """
     b, s, cl = xp.shape
     assert cl == 128, cl
@@ -381,27 +423,43 @@ def resblock_group_packed(
             gr = n * rows - halo + origin + r
             return jnp.where((gr >= 0) & (gr < s), y, 0.0)
 
-        def weight_rows(ci, qi):
-            w0 = int(woff[ci]) * cl
-            return w_ref[w0 + qi * cl : w0 + (qi + 1) * cl]
+        if fat_chunk:
 
-        def fat_rows(ci, nq):
-            w0 = int(woff[ci]) * cl
-            return w_ref[w0 : w0 + nq * cl]
+            def wide_cols(ci, j0, nj):
+                l0 = (int(woff[ci]) + j0) * cl
+                return w_ref[:, l0 : l0 + nj * cl]
+
+            weight_rows = lambda ci, qi: wide_cols(ci, qi, 1)
+            fat_rows = None
+        else:
+            wide_cols = None
+
+            def weight_rows(ci, qi):
+                w0 = int(woff[ci]) * cl
+                return w_ref[w0 + qi * cl : w0 + (qi + 1) * cl]
+
+            def fat_rows(ci, nq):
+                w0 = int(woff[ci]) * cl
+                return w_ref[w0 : w0 + nq * cl]
 
         out_ref[0] = _stage_walk(
             x_t, lambda ci: None, weight_rows, lambda ci: b_ref[ci],
             weights.dtype, mask_seq, convs, n_res, res_dsizes, rows, halo,
             fat_dots=fat_dots, fat_rows=fat_rows,
+            fat_chunk=fat_chunk, wide_cols=wide_cols,
         )
 
+    wshape = (
+        (cl, int(woff[-1]) * cl) if fat_chunk else (int(woff[-1]) * cl, cl)
+    )
+    assert weights.shape == wshape, (weights.shape, wshape, bool(fat_chunk))
     return pl.pallas_call(
         kernel,
         grid=(b, nblk),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (int(woff[-1]) * cl, cl), lambda bi, n: (0, 0),
+                wshape, lambda bi, n: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(

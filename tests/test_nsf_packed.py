@@ -386,6 +386,51 @@ def test_fused_resblock_kernel_odd_s():
             np.asarray(got), np.asarray(want), atol=2e-4)
 
 
+def test_fused_resblock_fat_n_matches_pertap():
+    """fat_chunk (one [E, CL] @ [CL, chunk*CL] dot per tap chunk, tap shifts
+    on the OUTPUT rows, wide-prepared weights) == the per-tap dot path.
+    Measured slower on v5e (see models/nsf_hifigan.py:_RES_FAT_CHUNK) but
+    kept as a study path; this pins its numerics."""
+    from prodiff_tpu.ops import packed as pk
+    from prodiff_tpu.ops.pallas.resblock import (
+        prepare_resblock_stage,
+        resblock_group_packed,
+    )
+
+    p, c = 2, 64
+    ksizes = [3, 5]
+    dsizes = [[1, 3], [1, 2]]
+    stage_params = []
+    for k, ds in zip(ksizes, dsizes):
+        rb = {}
+        for li in range(len(ds)):
+            for grp in ("convs1", "convs2"):
+                rb[f"{grp}_{li}"] = {"conv": {
+                    "kernel": jnp.asarray(
+                        RNG.normal(size=(k, c, c)).astype(np.float32) * 0.1),
+                    "bias": jnp.asarray(
+                        RNG.normal(size=(c,)).astype(np.float32) * 0.1),
+                }}
+        stage_params.append(rb)
+    w_n, b_n = prepare_resblock_stage(
+        stage_params, ksizes, dsizes, p, dtype=jnp.float32)
+    w_w, b_w = prepare_resblock_stage(
+        stage_params, ksizes, dsizes, p, dtype=jnp.float32, wide=True)
+    assert w_w.shape == w_n.shape[::-1]
+    for s in (37, 48):
+        xp = pk.pack(
+            jnp.asarray(RNG.normal(size=(2, s * p, c)).astype(np.float32)), p)
+        want = resblock_group_packed(
+            xp, w_n, b_n, ksizes, dsizes, p, rows_per_block=16,
+            interpret=True)
+        for chunk in (1, 4, 16):
+            got = resblock_group_packed(
+                xp, w_w, b_w, ksizes, dsizes, p, rows_per_block=16,
+                fat_chunk=chunk, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=1e-5)
+
+
 def test_streamed_resblock_kernel_direct():
     """Weight-streamed full-lane resblock kernel (NSF s0-style C=256) ==
     lax reference, across blocks/batches (slot parity + halo + odd S)."""

@@ -193,8 +193,36 @@ def full_gen(B, dtype, packed=None):
     return chain(compute)
 
 
+def full_prepared(B, dtype, fat=0):
+    """The serving path: PackedGeneratorRunner with prepared params (fused
+    resblock kernels, streamed s0, prepared tree as a jit argument) — what
+    the e2e NSF bench and spec2wav actually run. ``fat``: _RES_FAT_CHUNK
+    for the fused stages (0 = per-tap dots)."""
+    import prodiff_tpu.models.nsf_hifigan as nsf_mod
+    from prodiff_tpu.models.nsf_hifigan import Generator, PackedGeneratorRunner
+
+    nsf_mod._RES_FAT_CHUNK = fat
+    gen = Generator(dtype=dtype, use_packed=True)
+    runner = PackedGeneratorRunner(gen)
+    rng0 = np.random.default_rng(33)
+    mel = jnp.asarray(rng0.normal(size=(B, T_MEL, N_MELS)), jnp.float32)
+    f0 = jnp.asarray(rng0.uniform(80, 400, size=(B, T_MEL)), jnp.float32)
+    params = jax.jit(gen.init)(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, mel, f0)
+    prepared = jax.jit(runner.prepare)(params)
+
+    def compute(rng, eps):
+        return runner(prepared, mel + eps, f0, rng)
+
+    return chain(compute)
+
+
 PARTS = {
     "full_gen": full_gen,
+    "full_prepared": full_prepared,
+    "full_prepared_fat2": lambda B, d: full_prepared(B, d, fat=2),
+    "full_prepared_fat4": lambda B, d: full_prepared(B, d, fat=4),
+    "full_prepared_fat8": lambda B, d: full_prepared(B, d, fat=8),
     "conv_pre": conv_pre,
     "conv_post": conv_post,
     "sine_source": sine_source,
