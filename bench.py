@@ -36,6 +36,11 @@ except Exception:
 
 K_ITERS = 16
 K_ITERS_HI = 48
+# Escalate K_hi on this fixed ladder until T(K_hi)-T(K_lo) clears the relay
+# jitter floor. Deterministic values (not noise-derived) so every rung hits
+# the persistent compile cache on later runs.
+_K_HI_LADDER = (48, 144, 528, 2064)
+_MIN_DIFF_S = 0.025
 
 
 def _measure(make_loop):
@@ -44,9 +49,10 @@ def _measure(make_loop):
     transfers are slow through the relay); per-iteration time =
     (T(K_hi) - T(K_lo)) / (K_hi - K_lo), best of 5 runs each, which cancels
     the constant dispatch/relay round-trip (~1.7 ms here — single-K division
-    buries small kernels under it)."""
-    fn_lo = make_loop(K_ITERS)
-    fn_hi = make_loop(K_ITERS_HI)
+    buries small kernels under it). If the delta itself is within relay
+    jitter (~1-3 ms — min-of-5 differencing then lands up to ~50% off, which
+    is how a bench once printed MFU 1.21), re-measure with a wider K window
+    from _K_HI_LADDER until the delta exceeds _MIN_DIFF_S."""
 
     def best_of(fn, n=5):
         float(np.asarray(fn()))  # compile
@@ -57,9 +63,12 @@ def _measure(make_loop):
             best = min(best, time.time() - t0)
         return best
 
-    t_lo = best_of(fn_lo)
-    t_hi = best_of(fn_hi)
-    return max((t_hi - t_lo) / (K_ITERS_HI - K_ITERS), 1e-9)
+    t_lo = best_of(make_loop(K_ITERS))
+    for k_hi in _K_HI_LADDER:
+        t_hi = best_of(make_loop(k_hi))
+        diff = t_hi - t_lo
+        if diff >= _MIN_DIFF_S or k_hi == _K_HI_LADDER[-1]:
+            return max(diff / (k_hi - K_ITERS), 1e-9)
 
 
 def _denoiser_flops_per_frame(layers=20, c=256, h=256, m=128):
