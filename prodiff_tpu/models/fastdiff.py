@@ -299,10 +299,13 @@ class FastDiff(nn.Module):
         """audio: [B, T, 1]; c: [B, L, cond] (T == L * prod(ratios));
         diffusion_steps: [B, 1] -> epsilon [B, T, 1].
 
-        ``kp_out``: optional precomputed KernelPredictor outputs (one
-        (kflat, bflat) pair per LVC block — fastdiff_step_kernels indexed at
-        this call's step). They depend only on (c, diffusion_steps), so a
-        sampler can hoist them out of its step loop. Packed path only.
+        ``kp_out``: optional hoisted KernelPredictor outputs, a tuple
+        ``(kp_all, step_idx)`` — :func:`fastdiff_step_kernels`' full
+        multi-step stacks plus a traced int32 index selecting this call's
+        step. They depend only on (c, diffusion_steps), so a sampler hoists
+        them out of its step loop; the step selection happens inside the
+        consumers (scalar-prefetch reads in the fused kernel), never as a
+        whole-tree slice. Packed path only.
         """
         if not self.is_initializing() and self.packed_active(c.shape[1]):
             return _packed_forward(self, audio, c, diffusion_steps, kp_out)
@@ -389,9 +392,11 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps, kp_out=None):
     Reads the SAME params as the linen path (``net.variables``); the layer
     loop runs as fused UBlock Pallas kernels (ops/pallas/ublock.py), the
     pyramid edges as packed matmul ops (ops/packed.py). Inference only —
-    training/golden paths use the linen formulation. ``kp_out``: per-block
-    precomputed (kflat, bflat) — the step embedding + KernelPredictor are
-    skipped entirely (they are the only consumers of diffusion_steps).
+    training/golden paths use the linen formulation. ``kp_out``: a
+    ``(kp_all, step_idx)`` tuple — :func:`fastdiff_step_kernels`' per-layer
+    multi-step stacks plus this call's step index; the step embedding +
+    KernelPredictor are skipped entirely (they are the only consumers of
+    diffusion_steps) and the fused kernels read the stacks in place.
     """
     from prodiff_tpu.ops import packed as pk
     from prodiff_tpu.ops.pallas.ublock import (
@@ -406,12 +411,16 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps, kp_out=None):
     p = 128 // cin
     b = audio.shape[0]
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    hoisted = kp_out is not None
+    if hoisted:
+        kp_list, kp_step = kp_out
+        kp_step = jnp.asarray(kp_step, jnp.int32)
 
     def dense(name, x, parent=params):
         w = parent[name]["kernel"]
         return x @ w + parent[name]["bias"]
 
-    if kp_out is None:
+    if not hoisted:
         emb = diffusion_step_embedding(
             diffusion_steps, net.diffusion_step_embed_dim_in
         )
@@ -457,8 +466,19 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps, kp_out=None):
         r = net.upsample_ratios[n]
         cond_hop *= r
         bp = params[f"lvc_blocks_{n}"]
-        if kp_out is not None:
-            kflat, bflat = kp_out[n]
+        if hoisted:
+            km_layers, lb_layers = kp_list[n]
+            L_mel = km_layers[0].shape[2]
+
+            def layer_kernels(i):
+                # per-step slices for the XLA (low-rate) blocks and the mono
+                # diagnostic — the fused kernels below never call this, they
+                # read the stacks in place via step_idx
+                km = jax.lax.dynamic_index_in_dim(
+                    km_layers[i], kp_step, 0, keepdims=False)
+                lb = jax.lax.dynamic_index_in_dim(
+                    lb_layers[i], kp_step, 0, keepdims=False)
+                return km, lb
         else:
             noise = dense("fc_t", emb, parent=bp)
             condition = c + noise[:, None, :]
@@ -488,23 +508,28 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps, kp_out=None):
                 kflat, bflat = kp.apply(
                     {"params": bp["kernel_predictor"]}, condition
                 )
-        # the LVC bias is rolled in-kernel and Mosaic can't roll bf16; it is
-        # tiny ([B, L, 2C*layers]) so f32 costs nothing
-        bflat = bflat.astype(jnp.float32)
-        # per-layer kernels via tile-aligned lane slices of the FLAT conv
-        # output (channel order is [layers, k, Cin, Cout], so layer i is lanes
-        # [i*kwc, (i+1)*kwc)); reshaping the whole tensor to 5-D first makes
-        # XLA relayout all ~50 MB of it twice (measured ~1.2 ms/forward). The
-        # bf16 operand (see the kp construction above) halves the remaining
-        # relayout + kernel DMA. CPU convs are true f32, so f32 is kept there
-        # (golden tests stay tight).
-        kwc = net.lvc_kernel_size * cin * 2 * cin
-        L_mel = kflat.shape[1]
+            # the LVC bias is rolled in-kernel and Mosaic can't roll bf16; it
+            # is tiny ([B, L, 2C*layers]) so f32 costs nothing
+            bflat = bflat.astype(jnp.float32)
+            # per-layer kernels via tile-aligned lane slices of the FLAT conv
+            # output (channel order is [layers, k, Cin, Cout], so layer i is
+            # lanes [i*kwc, (i+1)*kwc)); reshaping the whole tensor to 5-D
+            # first makes XLA relayout all ~50 MB of it twice (measured
+            # ~1.2 ms/forward). The bf16 operand (see the kp construction
+            # above) halves the remaining relayout + kernel DMA. CPU convs
+            # are true f32, so f32 is kept there (golden tests stay tight).
+            kwc = net.lvc_kernel_size * cin * 2 * cin
+            L_mel = kflat.shape[1]
 
-        def layer_kernels(i):
-            km = jax.lax.slice_in_dim(kflat, i * kwc, (i + 1) * kwc, axis=2)
-            lb = jax.lax.slice_in_dim(bflat, i * 2 * cin, (i + 1) * 2 * cin, axis=2)
-            return km.reshape(b, L_mel, net.lvc_kernel_size * cin, 2 * cin), lb
+            def layer_kernels(i, kflat=kflat, bflat=bflat, kwc=kwc,
+                              L_mel=L_mel):
+                km = jax.lax.slice_in_dim(
+                    kflat, i * kwc, (i + 1) * kwc, axis=2)
+                lb = jax.lax.slice_in_dim(
+                    bflat, i * 2 * cin, (i + 1) * 2 * cin, axis=2)
+                km = km.reshape(
+                    b, L_mel, net.lvc_kernel_size * cin, 2 * cin)
+                return km, lb
         xp = jax.nn.leaky_relu(xp, 0.2)
         if _SKIP_UPSAMPLE:
             # cheap repeat-upsample stand-in (diagnostics only)
@@ -542,7 +567,14 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps, kp_out=None):
                 xp = jnp.pad(xp, [(0, 0), (ioh, ioh), (0, 0)])
                 adp_l = jnp.pad(adp, [(0, 0), (ioh, ioh), (0, 0)])
             for i in range(n_lay):
-                km_i, lb_i = layer_kernels(i)
+                if hoisted:
+                    # the kernel reads this step's windows straight from the
+                    # [N, B, L, 3C, 2C] stack (scalar-prefetch indexing) —
+                    # no per-step slice ever materialises
+                    km_i, lb_i, st = km_layers[i], lb_layers[i], kp_step
+                else:
+                    km_i, lb_i = layer_kernels(i)
+                    st = None
                 if _PADDED_CHAIN:
                     xp = ublock_layer_packed(
                         xp, adp_l,
@@ -550,6 +582,7 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps, kp_out=None):
                         km_i, lb_i,
                         dilation=3 ** i, hop=cond_hop, interpret=interpret,
                         in_halo=ioh, out_halo=ioh if i < n_lay - 1 else 0,
+                        step_idx=st,
                     )
                 else:
                     xp = ublock_layer_packed(
@@ -557,6 +590,7 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps, kp_out=None):
                         bp[f"convs_{i}"]["kernel"], bp[f"convs_{i}"]["bias"],
                         km_i, lb_i,
                         dilation=3 ** i, hop=cond_hop, interpret=interpret,
+                        step_idx=st,
                     )
         else:
             # low-rate blocks (hop < 128): per-window GEMMs are too small for
@@ -602,14 +636,22 @@ MAX_HOISTED_STEPS = 16
 
 def fastdiff_step_kernels(net: "FastDiff", variables, c, steps):
     """Precompute the KernelPredictor outputs for a fixed set of diffusion
-    steps (packed-path layout: flat conv outputs, bf16 on TPU).
+    steps, restructured for zero-copy per-step consumption.
 
     The KP depends only on (c, step) — not on the waveform — so a sampler
     can run it ONCE per segment, batched over its n steps, instead of once
-    per reverse iteration (3 KPs x n steps -> 3 batched KPs).
+    per reverse iteration (3 KPs x n steps -> 3 batched KPs). The flat conv
+    outputs are then sliced/reshaped into per-layer GEMM-ready stacks HERE,
+    once per segment: doing it per reverse step inside the sampling scan
+    (plus the ``kp_all[i]`` step slice) measured ~2-3 ms of a 10 ms 4-step
+    e2e, and XLA cannot hoist scan-body slices of a scan-carried index. The
+    fused UBlock kernel reads step i's windows directly from these stacks
+    via scalar-prefetch indexing (``ublock_layer_packed(step_idx=...)``).
 
     c: [B, L, cond]; steps: [n] (the schedule's fractional step indices).
-    Returns a list over LVC blocks of (kflat [n, B, L, K], bflat f32).
+    Returns a list over LVC blocks of (km_layers, lb_layers): tuples over
+    the block's conv layers of km [n, B, L, 3C, 2C] (bf16 on TPU) and
+    lb [n, B, L, 2C] f32.
     """
     params = variables["params"]
     n = steps.shape[0]
@@ -644,10 +686,20 @@ def fastdiff_step_kernels(net: "FastDiff", variables, c, steps):
             {"params": bp["kernel_predictor"]},
             condition.reshape(n * b, L, -1),
         )
-        out.append((
-            kflat.reshape(n, b, L, -1),
-            bflat.reshape(n, b, L, -1).astype(jnp.float32),
-        ))
+        kflat = kflat.reshape(n, b, L, -1)
+        bflat = bflat.reshape(n, b, L, -1).astype(jnp.float32)
+        cin = net.inner_channels
+        kwc = net.lvc_kernel_size * cin * 2 * cin
+        km_layers = []
+        lb_layers = []
+        for i in range(net.lvc_layers_each_block):
+            km = jax.lax.slice_in_dim(kflat, i * kwc, (i + 1) * kwc, axis=3)
+            km_layers.append(
+                km.reshape(n, b, L, net.lvc_kernel_size * cin, 2 * cin))
+            lb_layers.append(
+                jax.lax.slice_in_dim(
+                    bflat, i * 2 * cin, (i + 1) * 2 * cin, axis=3))
+        out.append((tuple(km_layers), tuple(lb_layers)))
     return out
 
 
@@ -762,9 +814,13 @@ def sampling_given_noise_schedule(
         sigma_n = consts[2][i]
         step_n = consts[3][i]
         if kp_all is not None:
-            kp_i = jax.tree.map(lambda a: a[i], kp_all)
+            # the step is selected INSIDE the consumers (scalar-prefetch
+            # indexing in the fused kernel / one small dynamic slice in the
+            # XLA blocks) — slicing the whole stacked tree here costs a
+            # ~75 MB copy per step
             eps = apply_fn(
-                params, x[..., None], cond, jnp.full((b, 1), step_n), kp_i
+                params, x[..., None], cond, jnp.full((b, 1), step_n),
+                (kp_all, i),
             )[..., 0]
         else:
             eps = apply_fn(

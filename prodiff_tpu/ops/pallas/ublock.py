@@ -232,6 +232,7 @@ def ublock_layer_packed(
     interpret: bool = False,
     in_halo: int = 0,
     out_halo: int = 0,
+    step_idx: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """One fused UBlock layer.
 
@@ -240,6 +241,16 @@ def ublock_layer_packed(
       conv_kernel: [3, C, C] (lax WIO); conv_bias: [C].
       kmat: [B, L, 3C, 2C] per-window LVC kernels (GEMM-ready tap-major);
       lvc_bias: [B, L, 2C]. S * P == L * hop.
+      step_idx: optional traced int32 scalar. When given, kmat/lvc_bias carry
+        a leading diffusion-step axis ([N, B, L, 3C, 2C] / [N, B, L, 2C] —
+        :func:`~prodiff_tpu.models.fastdiff.fastdiff_step_kernels`'s hoisted
+        stacks) and the kernel reads step ``step_idx``'s windows DIRECTLY
+        from the stacked HBM buffer via scalar-prefetch block indexing. This
+        is the zero-copy consumption path for hoisted kernels: slicing the
+        step OUTSIDE the kernel (``kp_all[i]`` in a sampling scan) costs a
+        ~25 MB dynamic-slice copy per block per step — measured ~1.0 ms of
+        a 10 ms 4-step e2e — plus per-layer slice/reshape copies that XLA
+        cannot hoist out of the scan.
       dilation: conv dilation (3^i).
       hop: LVC window length in samples (multiple of P).
       wpb: windows per grid block (auto if None).
@@ -260,7 +271,12 @@ def ublock_layer_packed(
         assert in_halo % 8 == 0, in_halo
         s -= 2 * in_halo
         assert adp.shape[1] == s + 2 * in_halo, (adp.shape, s, in_halo)
-    _, L, kc, c2 = kmat.shape
+    stepped = step_idx is not None
+    if stepped:
+        _, _, L, kc, c2 = kmat.shape
+        assert lvc_bias.ndim == 4, lvc_bias.shape
+    else:
+        _, L, kc, c2 = kmat.shape
     cin = kc // 3
     p = pc // cin
     cout = c2  # = 2*cin
@@ -334,8 +350,15 @@ def ublock_layer_packed(
 
     nblk_total = nblk
 
-    def kernel(x_hbm, ad_hbm, mq_ref, cb_ref, km_ref, lb_ref, out_ref,
-               xs, ads, sem, *extra):
+    def kernel(*args):
+        if stepped:
+            # leading scalar-prefetch ref (consumed by the BlockSpec
+            # index_maps; the body itself never reads it)
+            (_step_ref, x_hbm, ad_hbm, mq_ref, cb_ref, km_ref, lb_ref,
+             out_ref, xs, ads, sem, *extra) = args
+        else:
+            (x_hbm, ad_hbm, mq_ref, cb_ref, km_ref, lb_ref, out_ref,
+             xs, ads, sem, *extra) = args
         bi = pl.program_id(0)
         n = pl.program_id(1)
 
@@ -409,8 +432,10 @@ def ublock_layer_packed(
             # while halving the host-side relayout + DMA traffic). Mosaic
             # cannot roll non-32-bit vectors, so the window is converted
             # back to f32 at the VMEM read — the savings are all upstream.
+            kmw = km_ref[0, 0, wk] if stepped else km_ref[0, wk]
+            lbw = lb_ref[0, 0, wk] if stepped else lb_ref[0, wk]
             windows.append((
-                km_ref[0, wk].astype(jnp.float32), lb_ref[0, wk],
+                kmw.astype(jnp.float32), lbw,
                 w * rows_per_window, rows_per_window,
             ))
         store(_fused_layer_compute(
@@ -456,6 +481,65 @@ def ublock_layer_packed(
                     out_copy(gp % 2, gp % nblk_total, gp // nblk_total).wait()
 
     grid = (b, nblk)
+    scratch_shapes = [
+        pltpu.VMEM((2, rows + 2 * halo, pc), jnp.float32),
+        pltpu.VMEM((2, rows + 2 * halo, pc), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 2)),
+    ] + (
+        [
+            pltpu.VMEM((2, rows, pc), jnp.float32),
+            pltpu.VMEM((out_halo, pc), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ]
+        if out_halo
+        else []
+    )
+    cost = pl.CostEstimate(
+        flops=2 * b * s * pc * nq * pc + 2 * b * L * hop * kc * c2,
+        bytes_accessed=4 * b * (3 * s * pc + L * kc * c2),
+        transcendentals=2 * b * s * pc,
+    )
+    out_shape = jax.ShapeDtypeStruct((b, s + 2 * out_halo, pc), jnp.float32)
+
+    if stepped:
+        # hoisted kernels: index_maps take the prefetched step scalar as a
+        # trailing arg; the km/lb blocks then come straight from the
+        # [N, B, L, ...] stacks with no XLA-side step slice
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((nq, pc, pc), lambda bi, n, si: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, pc), lambda bi, n, si: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, wpb, kc, c2),
+                             lambda bi, n, si: (si[0], bi, n, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, wpb, c2),
+                             lambda bi, n, si: (si[0], bi, n, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY)
+                if out_halo
+                else pl.BlockSpec((1, rows, pc), lambda bi, n, si: (bi, n, 0),
+                                  memory_space=pltpu.VMEM)
+            ),
+            scratch_shapes=scratch_shapes,
+        )
+        step_arr = jnp.asarray(step_idx, jnp.int32).reshape(1)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(step_arr, xpad, adpad, mq, cb_row, kmat, lvc_bias)
+
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -480,27 +564,9 @@ def ublock_layer_packed(
             else pl.BlockSpec((1, rows, pc), lambda bi, n: (bi, n, 0),
                               memory_space=pltpu.VMEM)
         ),
-        out_shape=jax.ShapeDtypeStruct((b, s + 2 * out_halo, pc), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, rows + 2 * halo, pc), jnp.float32),
-            pltpu.VMEM((2, rows + 2 * halo, pc), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ]
-        + (
-            [
-                pltpu.VMEM((2, rows, pc), jnp.float32),
-                pltpu.VMEM((out_halo, pc), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA,
-            ]
-            if out_halo
-            else []
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * s * pc * nq * pc + 2 * b * L * hop * kc * c2,
-            bytes_accessed=4 * b * (3 * s * pc + L * kc * c2),
-            transcendentals=2 * b * s * pc,
-        ),
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        cost_estimate=cost,
         interpret=interpret,
     )(xpad, adpad, mq, cb_row, kmat, lvc_bias)
 

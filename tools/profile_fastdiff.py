@@ -80,6 +80,146 @@ def full_net(B, dtype, packed=False, fused_min_hop=None, max_blocks=None,
     return chain(compute)
 
 
+_E2E_STEPS = (3.0, 2.0, 1.0, 0.5)  # a 4-step schedule's fractional indices
+
+
+def _packed_net(B):
+    """A default-knob packed net + inputs at bench scale (shared by the
+    hoisted-KP parts)."""
+    net = FastDiff(cond_channels=N_MELS, use_packed=True)
+    params = jax.jit(net.init)(
+        jax.random.PRNGKey(3), jnp.zeros((B, T_AUDIO, 1)),
+        jnp.zeros((B, T_MEL, N_MELS)), jnp.zeros((B, 1)),
+    )
+    cond = jnp.asarray(
+        np.random.default_rng(0).normal(size=(B, T_MEL, N_MELS)), jnp.float32)
+    x0 = jnp.asarray(
+        np.random.default_rng(7).normal(size=(B, T_AUDIO, 1)), jnp.float32)
+    return net, params, cond, x0
+
+
+def full_net_hoistkp(B, dtype):
+    """The true SERVING per-step cost: one forward consuming a precomputed
+    (hoisted) KernelPredictor slice, exactly as the e2e sampler does —
+    kp_out rides the consts argument, so nothing KP-related is measured
+    except its consumption."""
+    from prodiff_tpu.models.fastdiff import fastdiff_step_kernels
+
+    net, params, cond, x0 = _packed_net(B)
+    steps = jnp.asarray(_E2E_STEPS, jnp.float32)
+    kp_all = jax.jit(
+        lambda p, c: fastdiff_step_kernels(net, p, c, steps))(params, cond)
+
+    def compute(rng, eps, c):
+        p, k = c
+        return net.apply(
+            p, x0 + eps, cond, jnp.full((B, 1), 3.0),
+            kp_out=(k, jnp.int32(0)),
+        )
+
+    return bench._chain(
+        compute, jax.random.PRNGKey(0), consts=(params, kp_all))
+
+
+def kp_hoist4(B, dtype):
+    """The batched 4-step hoisted KP alone (3 blocks x [4B] batch), as the
+    e2e runs it once per segment."""
+    from prodiff_tpu.models.fastdiff import fastdiff_step_kernels
+
+    net, params, cond, _ = _packed_net(B)
+    steps = jnp.asarray(_E2E_STEPS, jnp.float32)
+
+    def compute(rng, eps, c):
+        out = fastdiff_step_kernels(net, c, cond + eps, steps)
+        leaves = jax.tree.leaves(out)
+        return jnp.stack([a.astype(jnp.float32).mean() for a in leaves])
+
+    return bench._chain(compute, jax.random.PRNGKey(0), consts=params)
+
+
+def sampler_hoist4(B, dtype, noslice=False, extnoise=False):
+    """The full hoisted 4-step reverse sampler (= e2e minus the teacher):
+    batched KP once + 4 forwards + x-update math inside one scan.
+
+    Diagnostics (wrong numerics, cost isolation only): ``noslice`` reuses
+    step 0's kp slice every iteration (removes the per-step dynamic-slice
+    copies of the stacked kp_all); ``extnoise`` passes init/step noises as
+    consts (removes the in-graph jax.random.normal generation)."""
+    from prodiff_tpu.models.fastdiff import (
+        compute_hyperparams_given_schedule,
+        fastdiff_step_kernels,
+        prepare_inference_schedule,
+        sampling_given_noise_schedule,
+    )
+    from prodiff_tpu.vocoders.fastdiff import NOISE_SCHEDULES
+
+    net, params, cond, _ = _packed_net(B)
+    dh = compute_hyperparams_given_schedule(np.linspace(1e-6, 0.01, 1000))
+    bi, ai, si, steps = prepare_inference_schedule(
+        NOISE_SCHEDULES[4], dh["alpha"])
+    n = len(steps)
+
+    if noslice:
+        consts_ = tuple(
+            jnp.asarray(v, jnp.float32) for v in (bi, ai, si, steps))
+
+        def compute(rng, eps, c):
+            kp_all = fastdiff_step_kernels(
+                net, c, cond + eps, jnp.asarray(steps, jnp.float32))
+            kp0 = (kp_all, jnp.int32(0))
+            x = jax.random.normal(rng, (B, T_AUDIO))
+            noises = jax.random.normal(
+                jax.random.fold_in(rng, 1), (n, B, T_AUDIO))
+
+            def body(x, inp):
+                i, noise = inp
+                ep = net.apply(
+                    c, x[..., None], cond, jnp.full((B, 1), consts_[3][i]),
+                    kp_out=kp0,
+                )[..., 0]
+                x = x - consts_[0][i] / jnp.sqrt(1 - consts_[1][i] ** 2) * ep
+                x = x / jnp.sqrt(1 - consts_[0][i])
+                x = jnp.where(i > 0, x + consts_[2][i] * noise, x)
+                return x, None
+
+            x, _ = jax.lax.scan(
+                body, x, (jnp.arange(n - 1, -1, -1), noises))
+            return x
+
+        return bench._chain(compute, jax.random.PRNGKey(0), consts=params)
+
+    if extnoise:
+        rng0 = np.random.default_rng(9)
+        init_noise = jnp.asarray(
+            rng0.normal(size=(B, T_AUDIO, 1)), jnp.float32)
+        step_noises = jnp.asarray(
+            rng0.normal(size=(n, B, T_AUDIO, 1)), jnp.float32)
+
+        def compute(rng, eps, c):
+            p, ini, sn = c
+            kp_all = fastdiff_step_kernels(
+                net, p, cond + eps, jnp.asarray(steps, jnp.float32))
+            return sampling_given_noise_schedule(
+                lambda pp, x, c_, t, k: net.apply(pp, x, c_, t, kp_out=k),
+                p, rng, T_AUDIO, cond + eps, bi, ai, si, steps,
+                init_noise=ini, step_noises=sn, kp_all=kp_all,
+            )
+
+        return bench._chain(
+            compute, jax.random.PRNGKey(0),
+            consts=(params, init_noise, step_noises))
+
+    def compute(rng, eps, c):
+        kp_all = fastdiff_step_kernels(
+            net, c, cond + eps, jnp.asarray(steps, jnp.float32))
+        return sampling_given_noise_schedule(
+            lambda p, x, c_, t, k: net.apply(p, x, c_, t, kp_out=k),
+            c, rng, T_AUDIO, cond + eps, bi, ai, si, steps, kp_all=kp_all,
+        )
+
+    return bench._chain(compute, jax.random.PRNGKey(0), consts=params)
+
+
 def kernel_predictor(B, dtype):
     kp = KernelPredictor(conv_in_channels=32, conv_out_channels=64,
                          conv_layers=4, dtype=dtype)
@@ -442,6 +582,11 @@ PARTS = {
     "bare_nokp_nofinal": lambda B, d: full_net(B, d, skip_kp=True, skip_final=True, **_BARE),
     "full_net": full_net,
     "full_net_packed": lambda B, d: full_net(B, d, packed=True),
+    "full_net_hoistkp": full_net_hoistkp,
+    "kp_hoist4": kp_hoist4,
+    "sampler_hoist4": sampler_hoist4,
+    "sampler_hoist4_noslice": lambda B, d: sampler_hoist4(B, d, noslice=True),
+    "sampler_hoist4_extnoise": lambda B, d: sampler_hoist4(B, d, extnoise=True),
     "full_net_packed_noublock": lambda B, d: full_net(B, d, packed=True, fused_min_hop=10**9),
     "full_net_packed_allfused": lambda B, d: full_net(B, d, packed=True, fused_min_hop=1),
     "packed_0blocks": lambda B, d: full_net(B, d, packed=True, max_blocks=0),
