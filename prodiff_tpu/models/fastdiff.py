@@ -93,6 +93,40 @@ class DiffusionDBlock(nn.Module):
         return h + residual
 
 
+class _GemmSameConv(nn.Module):
+    """k-tap SAME 1-D conv computed as unfold + ONE GEMM.
+
+    Parameter tree is identical to ``nn.Conv`` (kernel [k, Cin, Cout], bias
+    [Cout]) so checkpoints/converters are unaffected. Used for the
+    KernelPredictor's fat output heads (Cout up to ~25k): a dot's output
+    layout is assignable, while XLA-TPU's conv emitter produces a staged
+    layout that — when the consumer is a pallas custom call needing the
+    default layout — forced 2-3 full copies of the ~100 MB hoisted kernels
+    tensor per block (HLO-census-backed, ~2.5 ms of a 10 ms 4-step e2e)."""
+
+    features: int
+    kernel_size: int = 3
+    dtype: jnp.dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, cin, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype)
+        L = x.shape[1]
+        lo = (k - 1) // 2
+        xp = jnp.pad(x, [(0, 0), (lo, k - 1 - lo), (0, 0)])
+        # tap-major unfold matches the row-major [k*Cin, Cout] kernel reshape
+        xu = jnp.concatenate([xp[:, i : i + L] for i in range(k)], axis=-1)
+        return xu @ kernel.reshape(k * cin, self.features) + bias
+
+
 class KernelPredictor(nn.Module):
     conv_in_channels: int
     conv_out_channels: int
@@ -125,8 +159,8 @@ class KernelPredictor(nn.Module):
             )(r)
             r = nn.leaky_relu(r, LRELU)
         h = h + r
-        kernels = nn.Conv(l_w, (self.conv_size,), padding="SAME", dtype=self.dtype, name="kernel_conv")(h)
-        bias = nn.Conv(l_b, (self.conv_size,), padding="SAME", dtype=self.dtype, name="bias_conv")(h)
+        kernels = _GemmSameConv(l_w, self.conv_size, dtype=self.dtype, name="kernel_conv")(h)
+        bias = _GemmSameConv(l_b, self.conv_size, dtype=self.dtype, name="bias_conv")(h)
         if self.flat:
             return kernels, bias
         b, L = c.shape[0], c.shape[1]
@@ -467,15 +501,18 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps, kp_out=None):
         cond_hop *= r
         bp = params[f"lvc_blocks_{n}"]
         if hoisted:
-            km_layers, lb_layers = kp_list[n]
-            L_mel = km_layers[0].shape[2]
+            km_stack, lb_layers = kp_list[n]
+            L_mel = km_stack.shape[2]
+            kc3 = net.lvc_kernel_size * cin
 
             def layer_kernels(i):
-                # per-step slices for the XLA (low-rate) blocks and the mono
-                # diagnostic — the fused kernels below never call this, they
-                # read the stacks in place via step_idx
+                # per-step/per-layer slices for the XLA (low-rate) blocks and
+                # the mono diagnostic — the fused kernels below never call
+                # this, they read the stack in place via (step_idx, layer)
                 km = jax.lax.dynamic_index_in_dim(
-                    km_layers[i], kp_step, 0, keepdims=False)
+                    km_stack, kp_step, 0, keepdims=False)
+                km = jax.lax.slice_in_dim(
+                    km, i * kc3, (i + 1) * kc3, axis=2)
                 lb = jax.lax.dynamic_index_in_dim(
                     lb_layers[i], kp_step, 0, keepdims=False)
                 return km, lb
@@ -568,13 +605,14 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps, kp_out=None):
                 adp_l = jnp.pad(adp, [(0, 0), (ioh, ioh), (0, 0)])
             for i in range(n_lay):
                 if hoisted:
-                    # the kernel reads this step's windows straight from the
-                    # [N, B, L, 3C, 2C] stack (scalar-prefetch indexing) —
-                    # no per-step slice ever materialises
-                    km_i, lb_i, st = km_layers[i], lb_layers[i], kp_step
+                    # the kernel reads this (step, layer)'s windows straight
+                    # from the [N, B, L, layers*3C, 2C] stack (scalar-prefetch
+                    # step index + static dim-3 layer block index) — no
+                    # per-step or per-layer slice ever materialises
+                    km_i, lb_i, st, li = km_stack, lb_layers[i], kp_step, i
                 else:
                     km_i, lb_i = layer_kernels(i)
-                    st = None
+                    st, li = None, 0
                 if _PADDED_CHAIN:
                     xp = ublock_layer_packed(
                         xp, adp_l,
@@ -582,7 +620,7 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps, kp_out=None):
                         km_i, lb_i,
                         dilation=3 ** i, hop=cond_hop, interpret=interpret,
                         in_halo=ioh, out_halo=ioh if i < n_lay - 1 else 0,
-                        step_idx=st,
+                        step_idx=st, layer_idx=li,
                     )
                 else:
                     xp = ublock_layer_packed(
@@ -590,7 +628,7 @@ def _packed_forward(net: "FastDiff", audio, c, diffusion_steps, kp_out=None):
                         bp[f"convs_{i}"]["kernel"], bp[f"convs_{i}"]["bias"],
                         km_i, lb_i,
                         dilation=3 ** i, hop=cond_hop, interpret=interpret,
-                        step_idx=st,
+                        step_idx=st, layer_idx=li,
                     )
         else:
             # low-rate blocks (hop < 128): per-window GEMMs are too small for
@@ -649,9 +687,9 @@ def fastdiff_step_kernels(net: "FastDiff", variables, c, steps):
     via scalar-prefetch indexing (``ublock_layer_packed(step_idx=...)``).
 
     c: [B, L, cond]; steps: [n] (the schedule's fractional step indices).
-    Returns a list over LVC blocks of (km_layers, lb_layers): tuples over
-    the block's conv layers of km [n, B, L, 3C, 2C] (bf16 on TPU) and
-    lb [n, B, L, 2C] f32.
+    Returns a list over LVC blocks of (km_stack, lb_layers): km_stack
+    [n, B, L, layers*3C, 2C] (bf16 on TPU; layer i = rows [i*3C, (i+1)*3C)
+    of dim 3) and a tuple over layers of lb [n, B, L, 2C] f32.
     """
     params = variables["params"]
     n = steps.shape[0]
@@ -689,17 +727,22 @@ def fastdiff_step_kernels(net: "FastDiff", variables, c, steps):
         kflat = kflat.reshape(n, b, L, -1)
         bflat = bflat.reshape(n, b, L, -1).astype(jnp.float32)
         cin = net.inner_channels
-        kwc = net.lvc_kernel_size * cin * 2 * cin
-        km_layers = []
-        lb_layers = []
-        for i in range(net.lvc_layers_each_block):
-            km = jax.lax.slice_in_dim(kflat, i * kwc, (i + 1) * kwc, axis=3)
-            km_layers.append(
-                km.reshape(n, b, L, net.lvc_kernel_size * cin, 2 * cin))
-            lb_layers.append(
-                jax.lax.slice_in_dim(
-                    bflat, i * 2 * cin, (i + 1) * 2 * cin, axis=3))
-        out.append((tuple(km_layers), tuple(lb_layers)))
+        kc = net.lvc_kernel_size * cin
+        # ONE reshape per block: [n, B, L, layers*kc, 2C]. Layer i's kernels
+        # are rows [i*kc, (i+1)*kc) of dim 3, read IN PLACE by the consumers
+        # (pallas BlockSpec dim-3 block index / one small sublane slice in
+        # the XLA blocks) — no per-layer slice of the ~100 MB stack ever
+        # materialises. The previous per-layer slice+reshape made XLA stage
+        # every slice through an L-minor bitcast layout and then copy each
+        # pallas operand back to the default layout: ~900 MB of pure
+        # relayout traffic per 4-step segment (HLO-census-backed; the
+        # in-graph hoist measured 4.8 ms vs 2.25 ms in isolation).
+        km_stack = kflat.reshape(
+            n, b, L, net.lvc_layers_each_block * kc, 2 * cin)
+        lb_layers = tuple(
+            jax.lax.slice_in_dim(bflat, i * 2 * cin, (i + 1) * 2 * cin, axis=3)
+            for i in range(net.lvc_layers_each_block))
+        out.append((km_stack, lb_layers))
     return out
 
 

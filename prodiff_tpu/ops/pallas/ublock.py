@@ -233,6 +233,7 @@ def ublock_layer_packed(
     in_halo: int = 0,
     out_halo: int = 0,
     step_idx: jnp.ndarray | None = None,
+    layer_idx: int = 0,
 ) -> jnp.ndarray:
     """One fused UBlock layer.
 
@@ -241,16 +242,18 @@ def ublock_layer_packed(
       conv_kernel: [3, C, C] (lax WIO); conv_bias: [C].
       kmat: [B, L, 3C, 2C] per-window LVC kernels (GEMM-ready tap-major);
       lvc_bias: [B, L, 2C]. S * P == L * hop.
-      step_idx: optional traced int32 scalar. When given, kmat/lvc_bias carry
-        a leading diffusion-step axis ([N, B, L, 3C, 2C] / [N, B, L, 2C] —
-        :func:`~prodiff_tpu.models.fastdiff.fastdiff_step_kernels`'s hoisted
-        stacks) and the kernel reads step ``step_idx``'s windows DIRECTLY
-        from the stacked HBM buffer via scalar-prefetch block indexing. This
-        is the zero-copy consumption path for hoisted kernels: slicing the
-        step OUTSIDE the kernel (``kp_all[i]`` in a sampling scan) costs a
-        ~25 MB dynamic-slice copy per block per step — measured ~1.0 ms of
-        a 10 ms 4-step e2e — plus per-layer slice/reshape copies that XLA
-        cannot hoist out of the scan.
+      step_idx: optional traced int32 scalar. When given, kmat is the WHOLE
+        block's hoisted stack [N, B, L, layers*3C, 2C] and lvc_bias this
+        layer's [N, B, L, 2C] (see
+        :func:`~prodiff_tpu.models.fastdiff.fastdiff_step_kernels`); the
+        kernel reads (step ``step_idx``, layer ``layer_idx``)'s windows
+        DIRECTLY from the stacked HBM buffer via scalar-prefetch + static
+        dim-3 block indexing. This is the zero-copy consumption path for
+        hoisted kernels: slicing the step or the layer OUTSIDE the kernel
+        makes XLA stage the ~100 MB stack through extra layout copies
+        (HLO-census-backed ~2.5 ms of a 10 ms 4-step e2e).
+      layer_idx: which layer's rows of the stepped stack to read (static;
+        ignored when step_idx is None).
       dilation: conv dilation (3^i).
       hop: LVC window length in samples (multiple of P).
       wpb: windows per grid block (auto if None).
@@ -273,8 +276,12 @@ def ublock_layer_packed(
         assert adp.shape[1] == s + 2 * in_halo, (adp.shape, s, in_halo)
     stepped = step_idx is not None
     if stepped:
-        _, _, L, kc, c2 = kmat.shape
+        _, _, L, kcl, c2 = kmat.shape
         assert lvc_bias.ndim == 4, lvc_bias.shape
+        cin = c2 // 2
+        kc = 3 * cin
+        assert kcl % kc == 0 and 0 <= layer_idx < kcl // kc, (
+            kmat.shape, layer_idx)
     else:
         _, L, kc, c2 = kmat.shape
     cin = kc // 3
@@ -505,7 +512,9 @@ def ublock_layer_packed(
     if stepped:
         # hoisted kernels: index_maps take the prefetched step scalar as a
         # trailing arg; the km/lb blocks then come straight from the
-        # [N, B, L, ...] stacks with no XLA-side step slice
+        # [N, B, L, ...] stacks with no XLA-side step OR layer slice (the
+        # layer is a static dim-3 block index into the whole-block stack —
+        # kc = 3C rows per layer, sublane-aligned since 3C % 8 == 0)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -517,7 +526,7 @@ def ublock_layer_packed(
                 pl.BlockSpec((1, pc), lambda bi, n, si: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, wpb, kc, c2),
-                             lambda bi, n, si: (si[0], bi, n, 0, 0),
+                             lambda bi, n, si: (si[0], bi, n, layer_idx, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, wpb, c2),
                              lambda bi, n, si: (si[0], bi, n, 0),

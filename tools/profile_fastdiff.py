@@ -137,14 +137,17 @@ def kp_hoist4(B, dtype):
     return bench._chain(compute, jax.random.PRNGKey(0), consts=params)
 
 
-def sampler_hoist4(B, dtype, noslice=False, extnoise=False):
+def sampler_hoist4(B, dtype, noslice=False, extnoise=False, exthoist=False):
     """The full hoisted 4-step reverse sampler (= e2e minus the teacher):
     batched KP once + 4 forwards + x-update math inside one scan.
 
     Diagnostics (wrong numerics, cost isolation only): ``noslice`` reuses
     step 0's kp slice every iteration (removes the per-step dynamic-slice
     copies of the stacked kp_all); ``extnoise`` passes init/step noises as
-    consts (removes the in-graph jax.random.normal generation)."""
+    consts (removes the in-graph jax.random.normal generation); ``exthoist``
+    passes a pre-computed kp_all as consts (removes the in-graph hoist AND
+    any layout conversion between the hoist's outputs and the pallas_call
+    operands — args arrive in default layouts)."""
     from prodiff_tpu.models.fastdiff import (
         compute_hyperparams_given_schedule,
         fastdiff_step_kernels,
@@ -208,6 +211,21 @@ def sampler_hoist4(B, dtype, noslice=False, extnoise=False):
         return bench._chain(
             compute, jax.random.PRNGKey(0),
             consts=(params, init_noise, step_noises))
+
+    if exthoist:
+        kp_all0 = jax.jit(
+            lambda p, c: fastdiff_step_kernels(
+                net, p, c, jnp.asarray(steps, jnp.float32)))(params, cond)
+
+        def compute(rng, eps, c):
+            p, k = c
+            return sampling_given_noise_schedule(
+                lambda pp, x, c_, t, kk: net.apply(pp, x, c_, t, kp_out=kk),
+                p, rng, T_AUDIO, cond + eps, bi, ai, si, steps, kp_all=k,
+            )
+
+        return bench._chain(
+            compute, jax.random.PRNGKey(0), consts=(params, kp_all0))
 
     def compute(rng, eps, c):
         kp_all = fastdiff_step_kernels(
@@ -587,6 +605,7 @@ PARTS = {
     "sampler_hoist4": sampler_hoist4,
     "sampler_hoist4_noslice": lambda B, d: sampler_hoist4(B, d, noslice=True),
     "sampler_hoist4_extnoise": lambda B, d: sampler_hoist4(B, d, extnoise=True),
+    "sampler_hoist4_exthoist": lambda B, d: sampler_hoist4(B, d, exthoist=True),
     "full_net_packed_noublock": lambda B, d: full_net(B, d, packed=True, fused_min_hop=10**9),
     "full_net_packed_allfused": lambda B, d: full_net(B, d, packed=True, fused_min_hop=1),
     "packed_0blocks": lambda B, d: full_net(B, d, packed=True, max_blocks=0),
