@@ -236,6 +236,73 @@ class SVSInferHandler:
 
         return run
 
+    # ---- warm start --------------------------------------------------------
+
+    def precompile(self, buckets=None, batch_sizes=(1,)) -> List[tuple]:
+        """Jit-compile the acoustic + vocoder programs for a set of padded
+        ``(T_ph, T_mel)`` buckets BEFORE the first real request.
+
+        Cold compiles cost minutes per program in this environment (remote
+        XLA compiles through the TPU relay; the persistent compilation cache
+        in ``utils/jax_cache.py`` makes them one-time) — a handler that jits
+        lazily per bucket stalls mid-song on the first long segment. The
+        reference's WebHandler builds everything up front
+        (``handler/web/handler.py:27-128``); torch is eager so it pays no
+        per-shape cost — here the analogue is compiling the bucket set ahead
+        of serving.
+
+        ``buckets``: iterable of ``(t_ph, t_mel)`` pairs (rounded up to the
+        bucket grid); defaults to hparam ``precompile_buckets``, else one
+        typical serving bucket ``[64, 1024]``. Dispatches zero-filled inputs
+        with exactly the argument structure :meth:`render_batch` uses, so the
+        compiled programs are the ones real requests hit. Returns the list of
+        compiled ``(batch, t_ph, t_mel)`` shapes."""
+        hp = self.hparams
+        if buckets is None:
+            buckets = hp.get("precompile_buckets") or [(64, 1024)]
+        rng = jax.random.PRNGKey(hp.get("seed", 1234))
+        done = []
+        for t_ph, t_mel in buckets:
+            t_ph = round_up(int(t_ph), 16)
+            t_mel = round_up(int(t_mel), self.mel_bucket)
+            for b in batch_sizes:
+                lang = np.zeros((b, t_ph), np.int32) if hp["use_lang_id"] else None
+                spk = None
+                if hp["use_spk_id"]:
+                    spk = np.tile(
+                        self.spk_mix_embed({list(self.spk_map)[0]: 1.0}), (b, 1, 1)
+                    )
+                gender = None
+                if hp.get("use_gender_id", False):
+                    gender = np.tile(self.gender_mix_embed(0.0), (b, 1, 1))
+                voicing = (
+                    np.full((b, t_mel), -10.0, np.float32)
+                    if hp.get("use_voicing_embed", False) else None
+                )
+                breath = (
+                    np.full((b, t_mel), -50.0, np.float32)
+                    if hp.get("use_breath_embed", False) else None
+                )
+                mel_out = self._acoustic_fn(
+                    self.params,
+                    np.zeros((b, t_ph), np.int32),
+                    np.zeros((b, t_mel), np.int32),
+                    np.zeros((b, t_mel), np.float32),
+                    lang, spk, gender, voicing, breath, rng,
+                    infer_step=self.infer_step,
+                    deterministic=self.deterministic,
+                )
+                voc_kwargs = {"deterministic": True} if self.deterministic else {}
+                wav = self.vocoder.spec2wav_batch(
+                    np.full((b, t_mel, hp["audio_num_mel_bins"]),
+                            MEL_PAD_LOG10, np.float32),
+                    np.zeros((b, t_mel), np.float32),
+                    **voc_kwargs,
+                )
+                jax.block_until_ready((mel_out, wav))
+                done.append((b, t_ph, t_mel))
+        return done
+
     # ---- per segment -----------------------------------------------------------
 
     def get_note_dur(self, note_dur: List[float], note_slur: List[int]) -> List[float]:

@@ -73,6 +73,15 @@ class WebHandler:
 
         self._build_word_dictionary()
 
+        # warm start (opt out with `precompile: false`): compile the serving
+        # buckets (`precompile_buckets`, default one [64, 1024] bucket) before
+        # accepting requests, so the first /api/infer doesn't stall minutes on
+        # a cold XLA compile (see SVSInferHandler.precompile)
+        if self.hparams.get("precompile", True):
+            compiled = self.core.precompile()
+            print(f"| web: precompiled {len(compiled)} bucket program(s): "
+                  f"{compiled}")
+
     # ---- dictionaries -----------------------------------------------------
 
     def _build_word_dictionary(self):

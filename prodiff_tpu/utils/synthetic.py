@@ -54,6 +54,8 @@ def make_svs_dataset(
     rectified: bool = False,
     hidden: int = 32,
     structured: bool = False,
+    t_ph_range=(4, 8),
+    dur_range=(2, 10),
 ):
     """Write phone_set/spk_map/lang_map + indexed shards + lengths sidecars.
 
@@ -78,8 +80,8 @@ def make_svs_dataset(
         f0s = []
         item_lengths = {}
         for i in range(n):
-            t_ph = int(rng.integers(4, 8))
-            dur = rng.integers(2, 10, t_ph)
+            t_ph = int(rng.integers(*t_ph_range))
+            dur = rng.integers(*dur_range, t_ph)
             t_mel = int(dur.sum())
             mel2ph = np.repeat(np.arange(1, t_ph + 1), dur)
             f0 = rng.uniform(100, 500, t_mel).astype(np.float32)
