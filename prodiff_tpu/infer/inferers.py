@@ -15,6 +15,7 @@ Design notes vs the reference:
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 from typing import List, Optional
@@ -25,9 +26,16 @@ import numpy as np
 
 from prodiff_tpu.binarize.pitch_predictor import base_pitch_curve
 from prodiff_tpu.config import set_hparams
+from prodiff_tpu.data.collate import round_up
 from prodiff_tpu.ops.seq import dur_to_mel2ph_host
 from prodiff_tpu.utils import ckpt_utils
 from prodiff_tpu.utils.text_encoder import TokenTextEncoder
+
+
+def _pad1(x: np.ndarray, t_pad: int, value=0) -> np.ndarray:
+    """Right-pad a 1-D array to ``t_pad`` with ``value``."""
+    x = np.asarray(x)
+    return np.pad(x, (0, t_pad - x.shape[0]), constant_values=value)
 
 
 INFERERS = {}
@@ -105,21 +113,35 @@ class DurPredictorInferer:
     def encode(self, ph_text_list: List[str]) -> np.ndarray:
         return np.asarray(self.ph_encoder.encode(ph_text_list), np.int32)
 
+    @functools.cached_property
+    def _jitted_apply(self):
+        # jitted + shape-bucketed (eager dispatch is seconds-per-op through
+        # a remote TPU runtime); the encoder masks padding end to end
+        # (attention key mask + per-layer nonpad), so bucket padding does not
+        # change the real-region durations — pinned by
+        # tests/test_variance_stack.py::test_dur_inferer_bucket_parity
+        @jax.jit
+        def run(params, tokens, onset, word_dur):
+            return self.model.apply(params, tokens, onset, word_dur, infer=True)
+
+        return run
+
     def run(self, ph_tokens: np.ndarray, ph_num: List[int], note_dur: List[float]):
         """-> per-phoneme durations in seconds, force-aligned to note durations."""
         ph_num = np.asarray(ph_num, np.int64)
         ph2word = np.repeat(np.arange(1, len(ph_num) + 1), ph_num)
         onset = np.diff(ph2word, prepend=0).astype(np.int32)
         word_dur = np.concatenate([[0.0], np.asarray(note_dur, np.float32)])[ph2word]
+        t_ph = len(ph_tokens)
+        t_pad = round_up(t_ph, 16)
         dur_pred = np.asarray(
-            self.model.apply(
+            self._jitted_apply(
                 self.params,
-                jnp.asarray(ph_tokens, jnp.int32)[None],
-                jnp.asarray(onset)[None],
-                jnp.asarray(word_dur, jnp.float32)[None],
-                infer=True,
+                jnp.asarray(_pad1(ph_tokens, t_pad), jnp.int32)[None],
+                jnp.asarray(_pad1(onset, t_pad))[None],
+                jnp.asarray(_pad1(word_dur, t_pad), jnp.float32)[None],
             )
-        )[0]
+        )[0][:t_ph]
         return self.force_align_pdur(ph_num, dur_pred, np.asarray(note_dur))
 
     @staticmethod
@@ -191,6 +213,24 @@ class PitchPredictorInferer:
         ]
         return np.asarray(self.ph_category_encoder.encode(cats), np.int32)
 
+    @functools.cached_property
+    def _jitted_apply(self):
+        # jitted + shape-bucketed like the acoustic path (remote-TPU-viable).
+        # NOTE: the reflow sampling noise is drawn at the PADDED [T_mel]
+        # shape, so the predicted delta for one segment depends on its bucket
+        # (equivalent to a different seed) — the reference draws fresh noise
+        # every call anyway (``component/inferer/pitch_predictor.py``).
+        @functools.partial(jax.jit, static_argnames=("infer_step",))
+        def run(params, ph_tokens, mel2ph, note_midi, note_rest, mel2note,
+                base_pitch, pitch_expr, spk_id, rng, infer_step=20):
+            return self.model.apply(
+                params, ph_tokens, mel2ph, note_midi, note_rest, mel2note,
+                base_pitch, pitch_expr=pitch_expr, spk_id=spk_id,
+                infer=True, infer_step=infer_step, rngs={"diffusion": rng},
+            )
+
+        return run
+
     def run(
         self,
         note_midi: np.ndarray,
@@ -211,20 +251,31 @@ class PitchPredictorInferer:
                 len(note_midi), self.ph_category_encoder.id("SP"), np.int32
             )
             mel2ph = mel2note
+        t_note = len(note_midi)
+        t_note_pad = round_up(t_note, 16)
+        t_ph_pad = round_up(len(ph_tokens), 16)
+        t_mel_pad = round_up(
+            mel_len, self.hparams.get("length_bucket_step", 128)
+        )
         delta = np.asarray(
-            self.model.apply(
+            self._jitted_apply(
                 self.params,
-                jnp.asarray(ph_tokens, jnp.int32)[None],
-                jnp.asarray(mel2ph, jnp.int32)[None],
-                jnp.asarray(note_midi, jnp.float32)[None],
-                jnp.asarray(note_rest, bool)[None],
-                jnp.asarray(mel2note, jnp.int32)[None],
-                jnp.asarray(base_pitch, jnp.float32)[None],
-                pitch_expr=jnp.full((1, 1), pitch_expr, jnp.float32),
-                spk_id=jnp.asarray([spk_id], jnp.int32),
-                infer=True,
-                infer_step=self.hparams.get("sampling_steps", 20),
-                rngs={"diffusion": jax.random.PRNGKey(self.hparams.get("seed", 1234))},
+                jnp.asarray(_pad1(ph_tokens, t_ph_pad), jnp.int32)[None],
+                jnp.asarray(_pad1(mel2ph[:mel_len], t_mel_pad), jnp.int32)[None],
+                # pad notes with midi=-1: the NoteEncoder's padding mask is
+                # ``note_midi < 0`` (models/encoder.py)
+                jnp.asarray(_pad1(note_midi, t_note_pad, -1.0), jnp.float32)[None],
+                jnp.asarray(_pad1(note_rest, t_note_pad, True), bool)[None],
+                jnp.asarray(_pad1(mel2note[:mel_len], t_mel_pad), jnp.int32)[None],
+                jnp.asarray(
+                    _pad1(base_pitch[:mel_len],
+                          t_mel_pad, float(base_pitch[mel_len - 1])),
+                    jnp.float32,
+                )[None],
+                jnp.full((1, 1), pitch_expr, jnp.float32),
+                jnp.asarray([spk_id], jnp.int32),
+                jax.random.PRNGKey(self.hparams.get("seed", 1234)),
+                infer_step=int(self.hparams.get("sampling_steps", 20)),
             )
         )[0]
         return base_pitch[:mel_len] + delta[:mel_len]
@@ -254,18 +305,41 @@ class VariPredictorInferer:
         # reference resolves voicing/breath each to their own task dir
         return cls(_resolve_hparams(exp_name, feature, checkpoints_root), feature)
 
+    @functools.cached_property
+    def _jitted_apply(self):
+        # jitted + shape-bucketed; same noise-per-bucket caveat as the pitch
+        # inferer (the sampled curve's noise is drawn at the padded shape)
+        @jax.jit
+        def run(params, ph_tokens, mel2ph, note_midi, note_rest, mel2note,
+                f0_seq, rng):
+            return self.model.apply(
+                params, ph_tokens, mel2ph, note_midi, note_rest, mel2note,
+                f0_seq, infer=True, rngs={"diffusion": rng},
+            )
+
+        return run
+
     def run(self, note_midi, note_rest, note_dur_sec, mel_len, timestep, f0_seq):
         mel2note = dur_to_mel2ph_host(note_dur_sec, timestep, mel_len)
         ph_tokens = np.full(len(note_midi), self.ph_encoder.id("SP"), np.int32)
-        curves = self.model.apply(
+        t_note_pad = round_up(len(note_midi), 16)
+        t_mel_pad = round_up(
+            mel_len, self.hparams.get("length_bucket_step", 128)
+        )
+        mel2note_p = jnp.asarray(
+            _pad1(mel2note[:mel_len], t_mel_pad), jnp.int32
+        )[None]
+        curves = self._jitted_apply(
             self.params,
-            jnp.asarray(ph_tokens)[None],
-            jnp.asarray(mel2note, jnp.int32)[None],
-            jnp.asarray(note_midi, jnp.float32)[None],
-            jnp.asarray(note_rest, bool)[None],
-            jnp.asarray(mel2note, jnp.int32)[None],
-            jnp.asarray(f0_seq, jnp.float32)[None],
-            infer=True,
-            rngs={"diffusion": jax.random.PRNGKey(self.hparams.get("seed", 1234))},
+            jnp.asarray(_pad1(ph_tokens, t_note_pad), jnp.int32)[None],
+            mel2note_p,
+            jnp.asarray(_pad1(note_midi, t_note_pad, -1.0), jnp.float32)[None],
+            jnp.asarray(_pad1(note_rest, t_note_pad, True), bool)[None],
+            mel2note_p,
+            jnp.asarray(
+                _pad1(f0_seq[:mel_len], t_mel_pad, float(f0_seq[mel_len - 1])),
+                jnp.float32,
+            )[None],
+            jax.random.PRNGKey(self.hparams.get("seed", 1234)),
         )
         return np.asarray(curves[self.feature])[0, :mel_len]

@@ -45,6 +45,26 @@ def install_reference_stubs():
         sys.modules["librosa.filters"] = filters
     if not hasattr(librosa, "sequence"):
         librosa.sequence = types.SimpleNamespace(viterbi=None)
+    if not hasattr(librosa, "feature"):
+        def _rms(y=None, frame_length=2048, hop_length=512):
+            x = np.pad(np.asarray(y, np.float32),
+                       (frame_length // 2, frame_length // 2))
+            n = 1 + (len(x) - frame_length) // hop_length
+            idx = (np.arange(n)[:, None] * hop_length
+                   + np.arange(frame_length)[None, :])
+            return np.sqrt((x[idx] ** 2).mean(axis=1))[None]
+
+        librosa.feature = types.SimpleNamespace(rms=_rms)
+    if not hasattr(librosa, "amplitude_to_db"):
+        # librosa semantics: 20*log10(max(|S|, amin)) - 20*log10(ref), with
+        # top_db=80 flooring relative to the max
+        def _amplitude_to_db(S, ref=1.0, amin=1e-5, top_db=80.0):
+            db = 20.0 * np.log10(np.maximum(np.abs(S), amin) / ref)
+            if top_db is not None:
+                db = np.maximum(db, db.max() - top_db)
+            return db
+
+        librosa.amplitude_to_db = _amplitude_to_db
     librosa.note_to_midi = _note_to_midi
     librosa.midi_to_hz = _midi_to_hz
 

@@ -145,6 +145,62 @@ def test_vari_predictor_model(rng):
     assert v.min() >= -96.0 - 1e-4 and v.max() <= -12.0 + 1e-4
 
 
+def test_dur_inferer_bucket_parity(rng):
+    """The jitted dur inferer pads t_ph to a 16-bucket; the encoder masks
+    padding end to end, so real-region durations must match the unpadded
+    apply exactly (the model is deterministic at infer)."""
+    from prodiff_tpu.models.duration import DurPredictor
+
+    model = DurPredictor(vocab_size=10, hparams=HP_SMALL)
+    t_ph = 5
+    tokens = jnp.asarray(rng.integers(3, 10, (1, t_ph)).astype(np.int32))
+    onset = jnp.asarray([[1, 0, 1, 0, 1]])
+    word_dur = jnp.asarray([[0.5, 0.5, 0.3, 0.3, 0.2]], jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, tokens, onset, word_dur)
+    want = np.asarray(model.apply(params, tokens, onset, word_dur, infer=True))[0]
+
+    pad = 16 - t_ph
+    got = np.asarray(
+        model.apply(
+            params,
+            jnp.pad(tokens, ((0, 0), (0, pad))),
+            jnp.pad(onset, ((0, 0), (0, pad))),
+            jnp.pad(word_dur, ((0, 0), (0, pad))),
+            infer=True,
+        )
+    )[0][:t_ph]
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_inferer_jitted_bucketed(tmp_path, rng):
+    """Inferer.run pads to buckets and dispatches ONE jitted call (the TPU
+    serving contract): same-bucket inputs must not recompile."""
+    from prodiff_tpu.infer.inferers import DurPredictorInferer
+    from prodiff_tpu.utils.text_encoder import TokenTextEncoder
+
+    hp = dict(HP_SMALL, work_dir=str(tmp_path), data_dir=str(tmp_path),
+              task="dur")
+    enc = TokenTextEncoder(["SP", "a", "b", "c"], replace_oov="SP")
+    inferer = DurPredictorInferer.__new__(DurPredictorInferer)
+    inferer.hparams = hp
+    inferer.ph_encoder = enc
+    from prodiff_tpu.models.duration import DurPredictor
+
+    inferer.model = DurPredictor(len(enc), hp)
+    tokens = jnp.zeros((1, 16), jnp.int32)
+    inferer.params = inferer.model.init(
+        {"params": jax.random.PRNGKey(0)}, tokens,
+        jnp.zeros((1, 16), jnp.int32), jnp.zeros((1, 16), jnp.float32),
+    )
+    d1 = inferer.run(np.array([3, 4, 5], np.int32), [2, 1], [0.5, 0.4])
+    n = inferer._jitted_apply._cache_size()
+    # different t_ph, same 16-bucket -> no recompile
+    d2 = inferer.run(np.array([3, 4, 5, 3, 4], np.int32), [2, 3], [0.5, 0.4])
+    assert inferer._jitted_apply._cache_size() == n
+    assert d1.shape == (3,) and d2.shape == (5,)
+    assert np.isfinite(d1).all() and np.isfinite(d2).all()
+
+
 def test_force_align_pdur():
     from prodiff_tpu.infer.inferers import DurPredictorInferer
 
