@@ -24,6 +24,18 @@ jax.config.update("jax_platforms", "cpu")
 # can't match on this host, so every lookup fails loudly and slows the suite.
 # The cache is for the TPU entry points (bench.py, main.py, __graft_entry__).
 
+import sys  # noqa: E402
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+# Pin sys.modules["main"] to OUR CLI before any test runs: golden-parity
+# tests sys.path-insert /root/reference (which has its own main.py), and a
+# later `from main import main` would otherwise resolve to whichever root
+# comes first at that moment (order-dependent — test_precompile imported the
+# reference CLI when run after a golden test).
+import main  # noqa: E402, F401
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

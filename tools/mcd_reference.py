@@ -161,9 +161,15 @@ def _write_maps(work_dir: str):
         json.dump({"zh": 1}, f)
 
 
-def mcd_vs_reference(work_root: str, scale: str = "bench") -> dict:
+def mcd_vs_reference(work_root: str, scale: str = "bench",
+                     ours_overrides: dict | None = None,
+                     return_wavs: bool = False) -> dict:
     """Run both renders under ``work_root`` (a scratch dir); return
-    ``{"mcd_vs_reference_db", "ref_wall_s", "ours_wall_s", "audio_sec"}``."""
+    ``{"mcd_vs_reference_db", "ref_wall_s", "ours_wall_s", "audio_sec"}``.
+
+    ``ours_overrides``: extra hparams written ONLY into our side's config
+    (e.g. ``{"nsf_packed": False}``) — the bisection knob for attributing a
+    TPU-vs-CPU MCD delta to a specific auto-ON TPU path."""
     import importlib
 
     import torch
@@ -233,7 +239,7 @@ def mcd_vs_reference(work_root: str, scale: str = "bench") -> dict:
     my_work = os.path.join(my_root, "x", "svs")
     _write_maps(my_work)
     with open(os.path.join(my_work, "config.yaml"), "w") as f:
-        yaml.dump(hp, f)
+        yaml.dump(dict(hp, **(ours_overrides or {})), f)
     sd_np = {k: v.numpy() for k, v in teacher_sd.items()}
     params = convert_prodiff_teacher(sd_np, hp)
     ckpt_utils.save_checkpoint(my_work, 100,
@@ -246,12 +252,15 @@ def mcd_vs_reference(work_root: str, scale: str = "bench") -> dict:
     assert got_wav.shape == want_wav.shape, (got_wav.shape, want_wav.shape)
     assert np.isfinite(got_wav).all() and np.isfinite(want_wav).all()
     assert np.abs(want_wav).max() > 1e-3, "degenerate reference render"
-    return {
+    out = {
         "mcd_vs_reference_db": round(np_mcd_db(got_wav, want_wav, hp), 4),
         "ref_wall_s": round(ref_wall, 2),
         "ours_wall_s": round(ours_wall, 2),
         "audio_sec": round(len(got_wav) / hp["audio_sample_rate"], 2),
     }
+    if return_wavs:
+        out["got_wav"], out["want_wav"] = got_wav, want_wav
+    return out
 
 
 def main():
