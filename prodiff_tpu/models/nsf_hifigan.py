@@ -601,6 +601,12 @@ def packed_hifigan_trunk(
             rs = params[f"resstream_{i}"]
             x = resblock_group_streamed(
                 x, rs["w"], rs["b"], res_ksizes, res_dsizes,
+                # f32 tap streaming (the precision-pinned parity render)
+                # needs smaller row tiles: rows=512 measured 31.4M scoped
+                # VMEM (limit 16M) where bf16 fits — f32 doubles the weight
+                # slots AND the per-conv dot operands the unrolled walk
+                # keeps live
+                rows_per_block=512 if rs["w"].dtype.itemsize == 2 else 128,
                 interpret=jax.devices()[0].platform not in ("tpu", "axon"),
             )
             p_prev = p_cur
@@ -613,6 +619,10 @@ def packed_hifigan_trunk(
             x = resblock_group_packed(
                 x, rf["w"], rf["b"], res_ksizes, res_dsizes, max(p_cur, 1),
                 fat_chunk=max(_RES_FAT_CHUNK, 1) if wide else 0,
+                # f32 tap stacks (precision-pinned parity render): the
+                # weights' extra 8 MB + doubled dot operands blow scoped
+                # VMEM at 1024-row tiles (26.2M measured; limit 16M)
+                rows_per_block=1024 if rf["w"].dtype.itemsize == 2 else 256,
                 interpret=jax.devices()[0].platform not in ("tpu", "axon"),
             )
             p_prev = p_cur

@@ -35,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from prodiff_tpu.ops.packed import convk_mixing_matrices, convk_row_offsets
+from prodiff_tpu.ops.pallas import dot_precision
 
 LRELU_SLOPE = 0.1  # HiFiGAN-family slope (FastDiff's UBlock uses 0.2)
 
@@ -144,6 +145,11 @@ def _stage_walk(x_t, weight_begin, weight_rows, bias_at, wdtype, mask_seq,
         e_out = y.shape[0] - (qmax - qmin)
         weight_begin(ci)
         yb = y.astype(wdtype)
+        # bf16 tap dots pin Precision.DEFAULT (bitwise-unchanged — Mosaic's
+        # default contract precision is single-pass bf16 — but immune to a
+        # global "highest" pin, which rejects bf16 operands); f32 inherits
+        # the config so the precision-pinned parity render gets fp32 passes
+        prec = dot_precision(yb)
         if fat_chunk and nq > 1:
             cl = y.shape[1]
             acc = None
@@ -153,6 +159,7 @@ def _stage_walk(x_t, weight_begin, weight_rows, bias_at, wdtype, mask_seq,
                     yb, wide_cols(ci, j0, nj),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=prec,
                 )  # [E, nj*CL]; row r holds every tap's contrib for row r
                 for t in range(nj):
                     q = qs[j0 + t]
@@ -176,6 +183,7 @@ def _stage_walk(x_t, weight_begin, weight_rows, bias_at, wdtype, mask_seq,
                 stacked, fat_rows(ci, nq),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=prec,
             )
         else:
             acc = None
@@ -185,6 +193,7 @@ def _stage_walk(x_t, weight_begin, weight_rows, bias_at, wdtype, mask_seq,
                     weight_rows(ci, qi),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=prec,
                 )
                 acc = contrib if acc is None else acc + contrib
         acc = acc + bias_at(ci)[None, :]

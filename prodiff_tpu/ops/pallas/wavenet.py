@@ -35,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from prodiff_tpu.models.common import SinusoidalPosEmb, mish
+from prodiff_tpu.ops.pallas import dot_precision
 
 RSQRT2 = 2.0 ** -0.5
 
@@ -132,24 +133,32 @@ def _wavenet_layer_step(x_scr, skip_scr, step_v, mask_v, cond_v, dw, db,
     (called with the pre-step-proj x and the post-cond z)."""
     x = x_scr[:]
     cdt = dw.dtype  # MXU stream/compute dtype (f32 or bf16)
+    # bf16 streams pin Precision.DEFAULT (numerics unchanged — Mosaic's
+    # default contract precision is single-pass bf16 — but a global
+    # "highest" pin would crash on bf16 operands); f32 inherits the config
+    prec = dot_precision(dw)
     if save_x is not None:
         save_x(x)
     # y = x + diffusion step projection (broadcast over T)
     step_proj = (
-        jnp.dot(step_v.astype(cdt), diffw, preferred_element_type=jnp.float32)
+        jnp.dot(step_v.astype(cdt), diffw, preferred_element_type=jnp.float32,
+                precision=prec)
         + diffb
     )  # [1, C]
     y = ((x + step_proj) * mask_v).astype(cdt)
 
     # k=3, dilation=1 conv as three shifted matmuls
-    z = jnp.dot(y, dw[1], preferred_element_type=jnp.float32)
+    z = jnp.dot(y, dw[1], preferred_element_type=jnp.float32, precision=prec)
     y_prev = jnp.concatenate([jnp.zeros_like(y[:1]), y[: t_len - 1]], axis=0)
     y_next = jnp.concatenate([y[1:], jnp.zeros_like(y[:1])], axis=0)
-    z += jnp.dot(y_prev, dw[0], preferred_element_type=jnp.float32)
-    z += jnp.dot(y_next, dw[2], preferred_element_type=jnp.float32)
+    z += jnp.dot(y_prev, dw[0], preferred_element_type=jnp.float32,
+                 precision=prec)
+    z += jnp.dot(y_next, dw[2], preferred_element_type=jnp.float32,
+                 precision=prec)
     z += db
     z += (
-        jnp.dot(cond_v.astype(cdt), condw, preferred_element_type=jnp.float32)
+        jnp.dot(cond_v.astype(cdt), condw, preferred_element_type=jnp.float32,
+                precision=prec)
         + condb
     )
     if save_z is not None:
@@ -157,7 +166,8 @@ def _wavenet_layer_step(x_scr, skip_scr, step_v, mask_v, cond_v, dw, db,
 
     gate = jax.nn.sigmoid(z[:, :c]) * jnp.tanh(z[:, c:])
     o = (
-        jnp.dot(gate.astype(cdt), outw, preferred_element_type=jnp.float32)
+        jnp.dot(gate.astype(cdt), outw, preferred_element_type=jnp.float32,
+                precision=prec)
         + outb
     )  # [T, 2C]
     x_scr[:] = (x + o[:, :c]) * RSQRT2

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from prodiff_tpu.ops.pallas import dot_precision
 from prodiff_tpu.ops.pallas.wavenet import (
     RSQRT2,
     _wavenet_layer_step,
@@ -198,6 +199,7 @@ def _bwd_chain_single(zs, g, dw, outw, *, t, tile, halo, save_dtype):
             do.astype(cdt), outw_ref[0],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=dot_precision(dwk),
         )  # [wlen, C]
         dz = jnp.concatenate(
             [dgate * tb * a * (1.0 - a), dgate * a * (1.0 - tb * tb)], axis=-1
@@ -206,6 +208,7 @@ def _bwd_chain_single(zs, g, dw, outw, *, t, tile, halo, save_dtype):
         tdot = lambda u, wk: jax.lax.dot_general(
             u, wk, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=dot_precision(dwk),
         )
         dy = tdot(dz, dwk[1])
         dz_next = jnp.concatenate([dz[1:], jnp.zeros_like(dz[:1])], axis=0)

@@ -96,7 +96,14 @@ class NsfHifiGAN(BaseVocoder):
         if fns is None:
             from prodiff_tpu.models.nsf_hifigan import PackedGeneratorRunner
 
-            runner = PackedGeneratorRunner(self.model)
+            # nsf_fused_res_dtype: "auto" (default; bf16 tap stacks on TPU)
+            # | "float32" | "off" — the f32 pin exists for exact-parity
+            # renders (MCD vs the f32 torch reference): bf16 stacks add a
+            # ~-53 dB broadband residual that log-mel metrics amplify
+            frd = {"auto": "auto", "float32": jnp.float32, "off": None}[
+                self.hparams.get("nsf_fused_res_dtype", "auto") or "auto"
+            ]
+            runner = PackedGeneratorRunner(self.model, fused_res_dtype=frd)
 
             @functools.partial(jax.jit, static_argnames=("deterministic",))
             def run(prepared, mel_ln, f0, rng, deterministic=False):

@@ -24,7 +24,14 @@ CONFIGS = {
     "no_pallas_wavenet": {"use_pallas_wavenet": False},
     "no_nsf_packed": {"nsf_packed": False},
     "neither": {"use_pallas_wavenet": False, "nsf_packed": False},
-    "f32_wavenet_stream": {"pallas_wavenet_dtype": "float32"},
+    "f32_weights": {"pallas_wavenet_dtype": "float32",
+                    "nsf_fused_res_dtype": "float32"},
+    # "_matmul_precision" is handled here, not an hparam: pins XLA:TPU's
+    # internal bf16 matmul/conv passes to f32 for the whole render
+    "pin_matmul": {"_matmul_precision": "highest"},
+    "pin_all": {"_matmul_precision": "highest",
+                "pallas_wavenet_dtype": "float32",
+                "nsf_fused_res_dtype": "float32"},
 }
 
 
@@ -44,11 +51,16 @@ def main():
     except Exception:
         pass
 
+    import jax
+
     for name in args.configs:
+        over = dict(CONFIGS[name])
+        prec = over.pop("_matmul_precision", None)
+        jax.config.update("jax_default_matmul_precision", prec)
         d = tempfile.mkdtemp(prefix=f"prodiff_mcdbg_{name}_")
         try:
             out = mcd_vs_reference(d, scale=args.scale,
-                                   ours_overrides=CONFIGS[name],
+                                   ours_overrides=over,
                                    return_wavs=True)
             got, want = out.pop("got_wav"), out.pop("want_wav")
             np.savez(f"/tmp/mcdbg_{name}.npz", got=got, want=want)

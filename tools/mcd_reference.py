@@ -161,15 +161,33 @@ def _write_maps(work_dir: str):
         json.dump({"zh": 1}, f)
 
 
+# our-side hparams that pin every reduced-precision fast path to f32, so the
+# render is apples-to-apples with the torch reference's f32 CPU math. The
+# shipped TPU defaults (bf16 tap stacks / bf16 denoiser weight streaming /
+# XLA:TPU's internal bf16 matmul passes) add only a ~-53 dB broadband
+# residual — inaudible, but log-mel MCD on RANDOM-INIT weights amplifies it
+# to ~20 dB because a random-init spectrum has near-empty bands at -70 dB
+# where that floor dominates (round-5 bench finding, tools/debug_mcd_tpu.py).
+PIN_OVERRIDES = {
+    "pallas_wavenet_dtype": "float32",
+    "nsf_fused_res_dtype": "float32",
+}
+
+
 def mcd_vs_reference(work_root: str, scale: str = "bench",
                      ours_overrides: dict | None = None,
-                     return_wavs: bool = False) -> dict:
+                     return_wavs: bool = False,
+                     precision_pin: bool = False) -> dict:
     """Run both renders under ``work_root`` (a scratch dir); return
     ``{"mcd_vs_reference_db", "ref_wall_s", "ours_wall_s", "audio_sec"}``.
 
     ``ours_overrides``: extra hparams written ONLY into our side's config
     (e.g. ``{"nsf_packed": False}``) — the bisection knob for attributing a
-    TPU-vs-CPU MCD delta to a specific auto-ON TPU path."""
+    TPU-vs-CPU MCD delta to a specific auto-ON TPU path.
+
+    ``precision_pin``: render our side with PIN_OVERRIDES and
+    ``jax_default_matmul_precision="highest"`` (restored after) — the
+    implementation-equivalence measurement."""
     import importlib
 
     import torch
@@ -235,19 +253,32 @@ def mcd_vs_reference(work_root: str, scale: str = "bench",
     from prodiff_tpu.utils import ckpt_utils
     from prodiff_tpu.utils.teacher_convert import convert_prodiff_teacher
 
+    import jax
+
+    over = dict(ours_overrides or {})
+    if precision_pin:
+        over.update(PIN_OVERRIDES)
     my_root = os.path.join(work_root, "mine", "checkpoints")
     my_work = os.path.join(my_root, "x", "svs")
     _write_maps(my_work)
     with open(os.path.join(my_work, "config.yaml"), "w") as f:
-        yaml.dump(dict(hp, **(ours_overrides or {})), f)
+        yaml.dump(dict(hp, **over), f)
     sd_np = {k: v.numpy() for k, v in teacher_sd.items()}
     params = convert_prodiff_teacher(sd_np, hp)
     ckpt_utils.save_checkpoint(my_work, 100,
                                {"global_step": 100, "state_dict": params})
-    mine = SVSInferHandler("x", checkpoints_root=my_root, deterministic=True)
-    t0 = time.time()
-    got_wav = mine.infer(dict(segment))[0]
-    ours_wall = time.time() - t0
+    prec_before = jax.config.jax_default_matmul_precision
+    try:
+        if precision_pin:
+            jax.config.update("jax_default_matmul_precision", "highest")
+        mine = SVSInferHandler("x", checkpoints_root=my_root,
+                               deterministic=True)
+        t0 = time.time()
+        got_wav = mine.infer(dict(segment))[0]
+        ours_wall = time.time() - t0
+    finally:
+        if precision_pin:
+            jax.config.update("jax_default_matmul_precision", prec_before)
 
     assert got_wav.shape == want_wav.shape, (got_wav.shape, want_wav.shape)
     assert np.isfinite(got_wav).all() and np.isfinite(want_wav).all()
