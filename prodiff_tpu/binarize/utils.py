@@ -13,6 +13,7 @@ import json
 import os
 from typing import Dict, List, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -179,8 +180,17 @@ def get_kth_harmonic(k, harmonic_part, f0, hop_size, win_size, samplerate,
         f0 = np.pad(f0, (0, pad_size), mode="constant", constant_values=(f0[0], f0[-1]))
     f0, _ = interp_f0(f0, uv=f0 == 0)
 
-    window = jnp.asarray(nuttall_window(win_size))
-    spec = stft_complex(jnp.asarray(waveform), window, win_size, hop_size)  # [1,F,Tf]
+    # This helper round-trips the COMPLEX spec through numpy for the f0 bin
+    # mask; run its FFT work on the host CPU backend: complex64 device->host
+    # readback is UNIMPLEMENTED through the axon TPU relay (measured), and
+    # this is the offline binarize path whose data lives on host anyway.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        window = jnp.asarray(nuttall_window(win_size))
+        spec = stft_complex(
+            jax.device_put(jnp.asarray(waveform), cpu), window, win_size,
+            hop_size,
+        )  # [1, F, Tf]
     spec = np.asarray(spec).transpose(0, 2, 1)  # [1, Tf, F]
     n_spec_frames, n_specs = spec.shape[1:]
 
@@ -194,9 +204,11 @@ def get_kth_harmonic(k, harmonic_part, f0, hop_size, win_size, samplerate,
         mask = np.pad(mask, [(0, 0), (0, n_spec_frames - mask.shape[1]), (0, 0)])
     spec = spec * mask[:, :n_spec_frames, :]
 
-    wav = istft(
-        jnp.asarray(spec.transpose(0, 2, 1)), window, win_size, hop_size, n_samples
-    )
+    with jax.default_device(cpu):
+        wav = istft(
+            jax.device_put(jnp.asarray(spec.transpose(0, 2, 1)), cpu),
+            window, win_size, hop_size, n_samples,
+        )
     return np.asarray(wav[0])
 
 
