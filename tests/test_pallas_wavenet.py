@@ -161,3 +161,16 @@ def test_train_vjp_grads_match_xla(setup):
             gg, gw, atol=0.02 * scale, rtol=0.05,
             err_msg=f"bf16 grad mismatch at {jax.tree_util.keystr(path)}",
         )
+
+
+def test_dot_precision_helper():
+    """bf16-operand kernel dots pin Precision.DEFAULT (a global "highest"
+    matmul pin crashes Mosaic on bf16 operands — round-5); f32 dots return
+    None so the config still reaches them (the parity-pin render needs it)."""
+    from prodiff_tpu.ops.pallas import dot_precision
+
+    bf = jnp.zeros((2, 2), jnp.bfloat16)
+    f32 = jnp.zeros((2, 2), jnp.float32)
+    assert dot_precision(bf, f32) == jax.lax.Precision.DEFAULT
+    assert dot_precision(bf) == jax.lax.Precision.DEFAULT
+    assert dot_precision(f32, f32) is None
